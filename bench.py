@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the declared query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is built fresh and fully materialized (count + light collect via
+``foreach``-free ``write.format('noop')`` when available, else count) so the
+measured time covers scan -> shuffle -> result, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+from big_data_analytics_mini_projects_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bdamp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, spec in QUERIES.items():
+        if not spec.bench:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = spec.build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep benching; a failure shows as missing + stderr note
+            failures[name] = f"{type(e).__name__}: {e}"
+            print(f"BENCH FAIL {name}: {failures[name]}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

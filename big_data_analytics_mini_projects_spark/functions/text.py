@@ -1,0 +1,93 @@
+"""Tokenizers and text scalar functions (SURVEY.md §2.2).
+
+Each tokenizer exists twice: a Spark DataFrame transform and a DuckDB SQL
+fragment builder used by the differential-test oracles. Both sides implement
+the *same* string semantics so results hash-match.
+
+Reference points:
+- whitespace tokenize + lowercase: MRSystemSimulator2020.py:186-191
+- A3 regex tokenizer: a3_p1.py:19 (pattern reproduced verbatim below)
+- per-character tokenize (alpha only): MRSystemSimulator2020.py:218-232
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Verbatim token regex from a3_p1.py:19 — punctuation tokens OR
+#: hashtag/mention-aware words with a short apostrophe suffix.
+A3_TOKEN_PATTERN = (
+    r"((?:[\.,!?;\"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:'[a-z]{1,3})?))"
+)
+
+#: Same pattern for DuckDB (RE2): identical besides SQL string quoting.
+A3_TOKEN_PATTERN_SQL = (
+    "((?:[\\.,!?;\"])|(?:(?:\\#|\\@)?[A-Za-z0-9_\\-]+(?:''[a-z]{1,3})?))"
+)
+
+
+def tokenize_regex(df: DataFrame, text_col: str = "text", out: str = "word") -> DataFrame:
+    """Explode A3-regex tokens of lowercased text (a3_p1.py:19-22).
+
+    The reference recompiles the regex per record inside a Python closure;
+    here the pattern is a codegen'd JVM expression — no Python in the loop.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(A3_TOKEN_PATTERN), 1)
+    return df.withColumn(out, F.explode(toks))
+
+
+def sql_tokens_regex(table: str = "documents", text_col: str = "text", key: str = "doc_id") -> str:
+    """DuckDB fragment: one row per (key, word) via the A3 regex."""
+    return (
+        f"SELECT {key}, unnest(regexp_extract_all(lower({text_col}), "
+        f"'{A3_TOKEN_PATTERN_SQL}', 1)) AS word FROM {table}"
+    )
+
+
+def tokenize_ws(df: DataFrame, text_col: str = "text", out: str = "word") -> DataFrame:
+    """Whitespace split + lowercase, dropping empty tokens.
+
+    Mirrors Python ``str.split()`` (MRSystemSimulator2020.py:186-191): split on
+    single spaces then drop empties, which equals split-on-runs for
+    single-line text — and is expressible identically in DuckDB.
+    """
+    w = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias(out)
+    return df.withColumn(out, w).filter(F.col(out) != "")
+
+
+def sql_tokens_ws(table: str = "documents", text_col: str = "text", key: str = "doc_id") -> str:
+    return (
+        f"SELECT {key}, word FROM (SELECT {key}, "
+        f"unnest(string_split(lower({text_col}), ' ')) AS word FROM {table}) "
+        f"WHERE word <> ''"
+    )
+
+
+def tokenize_char(df: DataFrame, text_col: str = "text", out: str = "ch") -> DataFrame:
+    """Explode lowercase alphabetic characters (MRSystemSimulator2020.py:218-232).
+
+    The reference drops non-alpha chars (``isalpha`` check at :228) and
+    densifies missing a-z chars with explicit zeros; densification is done by
+    the consuming aggregate via sufficient statistics instead (operators/aggregates.py).
+    """
+    chars = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"([a-z])"), 1)
+    return df.withColumn(out, F.explode(chars))
+
+
+def sql_tokens_char(table: str = "documents", text_col: str = "text", key: str = "doc_id") -> str:
+    return (
+        f"SELECT {key}, unnest(regexp_extract_all(lower({text_col}), '([a-z])', 1)) AS ch "
+        f"FROM {table}"
+    )
+
+
+def bool01(col: Column | str) -> Column:
+    """Bool -> 0.0/1.0 covariate encoding (a3_p1.py:51-59)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("double")
+
+
+def round4(col: Column | str) -> Column:
+    """Final-stat rounding used throughout the reference (MRSystemSimulator2020.py:245)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, 4)

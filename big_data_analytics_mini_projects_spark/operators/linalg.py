@@ -1,0 +1,32 @@
+"""Distributed sparse linear algebra (SURVEY.md §2.8 `matmul`).
+
+The reference's single-MR-pass matrix multiply (Part_2.pdf p1) replicates
+every M cell to all (i,k) reducer keys — shuffle volume O(nnz · dim). The
+relational formulation joins on the shared inner dimension and aggregates,
+shuffling each cell once: strictly less data movement, and Catalyst/AQE pick
+broadcast vs sort-merge and handle skew. This is the canonical example of
+"declare the semantics, let the optimizer schedule" (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def matmul_coo(cells: DataFrame, m_name: str = "M", n_name: str = "N") -> DataFrame:
+    """Multiply two sparse matrices stored as (name, i, j, v) COO cells.
+
+    Returns (i, j, val) of the product M·N with exact decimal accumulation
+    (cell values cast to decimal so the sum is merge-order independent).
+    """
+    m = cells.filter(F.col("name") == m_name).select(
+        F.col("i").alias("mi"), F.col("j").alias("mj"), F.col("v").cast("decimal(18,4)").alias("mv")
+    )
+    n = cells.filter(F.col("name") == n_name).select(
+        F.col("i").alias("ni"), F.col("j").alias("nj"), F.col("v").cast("decimal(18,4)").alias("nv")
+    )
+    return (
+        m.join(n, m.mj == n.ni)
+        .groupBy(F.col("mi").alias("i"), F.col("nj").alias("j"))
+        .agg(F.sum(F.col("mv") * F.col("nv")).cast("double").alias("val"))
+    )

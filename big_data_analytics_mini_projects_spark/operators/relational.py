@@ -1,0 +1,98 @@
+"""Relational operators (SURVEY.md §2.3-2.5, §2.10).
+
+Generic DataFrame->DataFrame combinators; plans/ binds them to the testdata.
+Every join here declares its *semantics*; Catalyst picks the physical strategy
+(broadcast vs shuffled hash vs sort-merge) and AQE re-picks at runtime.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def join_broadcast(big: DataFrame, small: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Broadcast (map-side) hash join.
+
+    Reference: driver ``collect`` + ``sc.broadcast`` + closure dict lookup
+    (a3_p1.py:31-37, a3_p2.py:69-73). Here the hint keeps the big side
+    shuffle-free; at 100 TB this is the difference between a full exchange of
+    the fact table and none.
+    """
+    return big.join(F.broadcast(small), on, how)
+
+
+def join_anti(r: DataFrame, s: DataFrame, on) -> DataFrame:
+    """Set difference R-S as an anti join (MRSystemSimulator2020.py:199-212).
+
+    The reference tags each element with its set name and keeps elements whose
+    only tag is 'R' — a shuffle of both full sets. ``left_anti`` gives the
+    same result with map-side short-circuiting once the right side broadcasts.
+    """
+    return r.join(s, on, "left_anti")
+
+
+def join_semi(r: DataFrame, keys: DataFrame, on) -> DataFrame:
+    """Membership filter as a semi join (sampler_v02.py:47-49, a3_p2.py:39)."""
+    return r.join(keys, on, "left_semi")
+
+
+def topk(df: DataFrame, order_cols: Sequence[Column], k: int) -> DataFrame:
+    """Top-k without a global sort (a3_p1.py:31,101-102 ``takeOrdered``).
+
+    Catalyst compiles orderBy+limit to TakeOrderedAndProject: per-partition
+    heaps merged at the driver — the same algorithm the reference hand-rolled,
+    minus the hand-rolling. Callers must pass a *total* order (tiebreakers!)
+    for deterministic results.
+    """
+    return df.orderBy(*order_cols).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame, partition_cols: Sequence[str], order_cols: Sequence[Column], k: int
+) -> DataFrame:
+    """Top-k within each group via a ranking window (engine extension; the
+    reference only ever takes global top-k)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def last_per_key(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[Column]
+) -> DataFrame:
+    """Most-recent-row-per-key dedupe.
+
+    The reference keeps *last-seen* (``reduceByKey(lambda a,b: b)``,
+    a3_p2.py:22) though the spec says most-recent; the engine implements the
+    spec'd semantics with an explicit total order (SURVEY.md §7.4 wart #4).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def having_count(
+    df: DataFrame, group_col: str, count_col: str, min_count: int, distinct: bool = True
+) -> DataFrame:
+    """Keep rows whose group has >= min_count members (a3_p2.py:24-31).
+
+    The reference materializes full groups (``groupByKey`` + len filter); a
+    windowed count keeps the data flat — no nested lists, no OOM groups.
+    """
+    w = Window.partitionBy(group_col)
+    if distinct:
+        # countDistinct is unsupported over windows; size(collect_set) is the
+        # idiomatic equivalent (group cardinalities here are filter thresholds,
+        # i.e. small).
+        c = F.size(F.collect_set(count_col).over(w))
+    else:
+        c = F.count(count_col).over(w)
+    return df.withColumn("__c", c).filter(F.col("__c") >= min_count).drop("__c")

@@ -1,0 +1,14 @@
+"""Aggregation point for the query catalog.
+
+Importing this module registers every declared query (one per implemented
+operator from SURVEY.md §2) into ``QUERIES``. ``__spark_entry__.py`` re-exports
+exactly this catalog to the verification driver.
+"""
+
+from .registry import QUERIES, QuerySpec, register  # noqa: F401
+
+# Each import populates the registry via @register side effects.
+from . import core  # noqa: F401  (relational / TPC-H / JSON / window)
+from . import textq  # noqa: F401  (tokenizers / word count / set ops / mean-chars)
+from . import samplingq  # noqa: F401  (samplers / welford / hourly windows)
+from . import linalgq  # noqa: F401  (COO matmul)

@@ -1,0 +1,293 @@
+"""Relational core queries: joins, filters, top-k, windows, JSON projection
+(SURVEY.md §2.2-2.5, §2.9-2.10) bound to the TPC-H-ish star schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.aggregates import dsum, sql_dsum
+from ..operators.relational import (
+    join_anti,
+    join_broadcast,
+    join_semi,
+    last_per_key,
+    topk,
+    topk_per_group,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+#: Synthetic ratings derivation (FIXTURES.md §B): lineitem⋈orders gives
+#: (user=o_custkey, item=l_partkey, rating∈1..5, recency=l_shipdate).
+#: floor before cast — DuckDB rounds double->int casts, Spark truncates.
+RATING_EXPR = "1 + (CAST(floor(l_extendedprice * 100) AS BIGINT) % 5)"
+
+SQL_RATINGS_DEDUP = f"""
+SELECT user_id, item, rating FROM (
+  SELECT o_custkey AS user_id, l_partkey AS item, {RATING_EXPR} AS rating,
+         row_number() OVER (PARTITION BY o_custkey, l_partkey
+                            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+WHERE rn = 1
+"""
+
+
+def ratings_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-recent rating per (user, item) — agg_last_per_key (a3_p2.py:18-22,
+    spec'd 'most recent' semantics per SURVEY.md §7.4 wart #4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item"),
+        F.expr(RATING_EXPR).alias("rating"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return last_per_key(
+        raw,
+        ["user_id", "item"],
+        [F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")],
+    ).select("user_id", "item", "rating")
+
+
+@register(
+    "ratings_last_per_key",
+    oracle=(
+        f"WITH r AS ({SQL_RATINGS_DEDUP}) "
+        "SELECT item, COUNT(*) AS n_ratings, "
+        "round(CAST(SUM(rating) AS DOUBLE) / COUNT(*), 4) AS avg_rating "
+        "FROM r GROUP BY item"
+    ),
+    doc="Most-recent-rating-per-(user,item) dedupe then per-item stats "
+    "(agg_last_per_key, a3_p2.py:18-22).",
+    tags=("agg_last_per_key", "window"),
+)
+def ratings_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings_deduped(spark, sf_dir)
+    return r.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.round(F.sum("rating").cast("double") / F.count(F.lit(1)), 4).alias("avg_rating"),
+    )
+
+
+@register(
+    "having_count_items",
+    oracle=(
+        f"WITH r AS ({SQL_RATINGS_DEDUP}) "
+        "SELECT item, COUNT(DISTINCT user_id) AS n_users FROM r "
+        "GROUP BY item HAVING COUNT(DISTINCT user_id) >= 25"
+    ),
+    doc="Group-cardinality filter: items rated by >=25 distinct users "
+    "(agg_having_count, a3_p2.py:24-31 '91 items').",
+    tags=("agg_having_count",),
+)
+def having_count_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings_deduped(spark, sf_dir)
+    return (
+        r.groupBy("item")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n_users") >= 25)
+    )
+
+
+@register(
+    "semi_join_orders",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        f"{sql_dsum('o_totalprice')} AS total_price "
+        "FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000) "
+        "GROUP BY o_orderpriority"
+    ),
+    doc="Semi join: orders of well-funded customers, by priority "
+    "(join_semi, sampler_v02.py:47-49 second-pass membership filter shape).",
+    tags=("join_semi", "agg_sum_by_key"),
+)
+def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        join_semi(orders, rich, "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "anti_join_customers",
+    oracle=(
+        "SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) "
+        "GROUP BY c_mktsegment"
+    ),
+    doc="Anti join: customers with no orders, by segment (join_anti).",
+    tags=("join_anti",),
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        join_anti(cust, orders, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "broadcast_join_revenue",
+    oracle=(
+        "SELECT r_name, n_name, COUNT(*) AS n_orders, "
+        f"{sql_dsum('o_totalprice')} AS total_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name"
+    ),
+    doc="Star join with explicitly broadcast dimensions (join_broadcast, "
+    "a3_p1.py:37 / a3_p2.py:72 driver-broadcast lookups): the fact table "
+    "never shuffles for the joins, only for the final aggregate.",
+    tags=("join_broadcast",),
+)
+def broadcast_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = join_broadcast(
+        join_broadcast(cust, nation, cust.c_nationkey == nation.n_nationkey),
+        region,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("c_custkey", "n_name", "r_name")
+    return (
+        join_broadcast(orders, dims, orders.o_custkey == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        f"{sql_dsum('l_quantity')} AS sum_qty, "
+        f"{sql_dsum('l_extendedprice')} AS sum_base_price, "
+        f"{sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price, "
+        f"{sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge, "
+        f"round({sql_dsum('l_quantity')} / COUNT(*), 4) AS avg_qty, "
+        f"round({sql_dsum('l_extendedprice')} / COUNT(*), 4) AS avg_price, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    doc="TPC-H Q1-shaped pricing summary: the scan->filter->wide-agg shape; "
+    "exact decimal accumulation makes the floats engine-stable.",
+    tags=("filter_pred", "agg_sum_by_key", "agg_combiner"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            F.round(dsum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(dsum("l_extendedprice") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_top_orders",
+    oracle=(
+        "SELECT l_orderkey, "
+        f"{sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' "
+        "GROUP BY l_orderkey, orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+    ),
+    doc="TPC-H Q3-shaped shipping priority: selective dimension filter, "
+    "fact join, top-k by aggregated revenue with total-order tiebreak.",
+    tags=("join_broadcast", "topk", "filter_pred"),
+)
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = join_broadcast(orders, cust, orders.o_custkey == cust.c_custkey).join(
+        li, F.col("o_orderkey") == li.l_orderkey
+    )
+    agg = joined.groupBy(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    return topk(agg, [F.desc("revenue"), F.asc("l_orderkey")], 10).select(
+        "l_orderkey", "revenue", "orderdate", "o_orderpriority"
+    )
+
+
+@register(
+    "topk_orders_per_segment",
+    oracle=(
+        "SELECT c_mktsegment, o_orderkey, o_totalprice FROM ("
+        "SELECT c_mktsegment, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn "
+        "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3"
+    ),
+    doc="Per-group top-k via ranking window (engine extension of the "
+    "reference's global takeOrdered, a3_p1.py:101-102).",
+    tags=("topk", "window"),
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = join_broadcast(orders, cust, orders.o_custkey == cust.c_custkey)
+    return topk_per_group(
+        j.select("c_mktsegment", "o_orderkey", "o_totalprice"),
+        ["c_mktsegment"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+
+
+@register(
+    "project_json_events",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n, "
+        "SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+        "round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) "
+        "/ COUNT(*), 4) AS avg_k "
+        "FROM events GROUP BY event_type"
+    ),
+    doc="JSON field projection from the events.props string column "
+    "(project_json, a3_p1.py:17-27 json.loads field access).",
+    tags=("project_json",),
+)
+def project_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+    )

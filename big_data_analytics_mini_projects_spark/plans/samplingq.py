@@ -1,0 +1,133 @@
+"""Sampler / streaming-stats queries over `events` (SURVEY.md §2.6, §2.11).
+
+`events` plays the transactions CSV of Assignment 1 (FIXTURES.md §B):
+user_id = sampling entity, value = amount. Mean/σ are computed from exact
+decimal sufficient statistics (Σx, Σx² as decimals) so Spark and DuckDB agree
+bit-for-bit — same merge-order argument as the reference's combiner legality
+(commutative+associative, Assignment 1 Description.htm:38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.hashing import hex_bucket, hex_bucket_sql
+from ..operators.aggregates import dsum, sql_dsum
+from ..operators.sampling import sample_entities_hashbucket
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _stats_agg(df: DataFrame) -> DataFrame:
+    """(n, n_users, mean, std_pop) of `value` via exact decimal Σx / Σx²."""
+    n = F.count(F.lit(1))
+    s1 = dsum("value")
+    s2 = dsum(F.col("value") * F.col("value"), 4)
+    mean = s1 / n
+    return df.agg(
+        n.alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(mean, 4).alias("mean"),
+        F.round(F.sqrt(s2 / n - mean * mean), 4).alias("std"),
+    )
+
+
+_SQL_STATS = (
+    "COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, "
+    f"round({sql_dsum('value')} / COUNT(*), 4) AS mean, "
+    f"round(sqrt({sql_dsum('value * value', 4)} / COUNT(*) - "
+    f"({sql_dsum('value')} / COUNT(*)) * ({sql_dsum('value')} / COUNT(*))), 4) AS std"
+)
+
+
+@register(
+    "agg_distinct_users",
+    oracle=(
+        "SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events, "
+        "COUNT(DISTINCT event_type) AS n_types FROM events"
+    ),
+    doc="Distinct-entity pass of the two-pass sampler (agg_distinct, "
+    "sampler_v02.py:40-42).",
+    tags=("agg_distinct",),
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "welford_global_stats",
+    oracle=f"SELECT {_SQL_STATS} FROM events",
+    doc="Global (n, mean, σ_pop) over the full stream — the reference's "
+    "Welford accumulator (agg_welford, sampler_v02.py:50-56,81-87); Spark "
+    "merges the same sufficient statistics tree-wise. Streaming flavor: "
+    "streaming/stream_stats.py (batch≡stream test in tests/).",
+    tags=("agg_welford", "agg_mean_std"),
+)
+def welford_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stats_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sample_hashbucket_stats",
+    oracle=(
+        f"SELECT {_SQL_STATS} FROM events "
+        f"WHERE {hex_bucket_sql('user_id', 1, 'hb')} = '0'"
+    ),
+    doc="One-pass hash-bucket entity sampler + stats (sample_hashbucket, "
+    "sampler_v02.py:63-87): stateless entity-complete filter, ~1/16 of users.",
+    tags=("sample_hashbucket", "hash_mod", "agg_welford"),
+)
+def sample_hashbucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _stats_agg(sample_entities_hashbucket(ev, "user_id", 1, "0", "hb"))
+
+
+@register(
+    "sample_twopass_stats",
+    oracle=(
+        "WITH u AS (SELECT DISTINCT user_id FROM events), "
+        "k AS (SELECT CAST(ceil(0.02 * COUNT(*)) AS BIGINT) AS c FROM u), "
+        "s AS (SELECT user_id FROM (SELECT user_id, row_number() OVER "
+        "(ORDER BY md5('tp:' || CAST(user_id AS VARCHAR)), user_id) AS rn FROM u) "
+        "WHERE rn <= (SELECT c FROM k)) "
+        f"SELECT {_SQL_STATS} FROM events WHERE user_id IN (SELECT user_id FROM s)"
+    ),
+    doc="Two-pass entity sampler + stats (sample_twopass, sampler_v02.py:32-56): "
+    "'shuffle then top pct%' realized as seeded-hash order, reproducibly.",
+    tags=("sample_twopass", "join_semi", "agg_welford"),
+)
+def sample_twopass_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ents = ev.select("user_id").distinct()
+    n = ents.count()
+    k = int(-(-n * 0.02 // 1))  # ceil(pct*n), pct=0.02 per the assignment
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("tp:"), F.col("user_id").cast("string"))), F.col("user_id")
+    )
+    sample = ents.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    kept = ev.join(F.broadcast(sample.select("user_id")), "user_id", "left_semi")
+    return _stats_agg(kept)
+
+
+@register(
+    "events_hourly",
+    oracle=(
+        "SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, "
+        f"COUNT(*) AS n, {sql_dsum('value')} AS sum_value "
+        "FROM events GROUP BY event_type, hour_bucket"
+    ),
+    doc="Tumbling 1h event-time aggregation on epoch-micro buckets — the batch "
+    "twin of the Structured Streaming windowed agg (SURVEY.md §2.11); "
+    "timezone-free by construction (pure integer arithmetic).",
+    tags=("streaming", "agg_sum_by_key"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("hour_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))

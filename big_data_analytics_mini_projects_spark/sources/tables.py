@@ -1,0 +1,52 @@
+"""Loaders for the driver's deterministic parquet testdata (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an sf dir.
+
+Scale notes: at 100 TB these would be partitioned parquet/iceberg directories;
+``spark.read.parquet`` on a directory is the identical call. The only local
+quirk handled here is the nanosecond timestamp encoding of ``events.ts``
+(Spark reads it as long nanos under ``spark.sql.legacy.parquet.nanosAsLong``;
+we derive ``ts_us`` (epoch micros, long) and a proper timestamp column so both
+epoch-based arithmetic and event-time windowing are available downstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import ensure_runtime_confs
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing timestamp encodings."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        dtypes = dict(df.dtypes)
+        if dtypes.get("ts") == "bigint":
+            # TIMESTAMP(NANOS) read as long nanos: keep epoch-micros long for
+            # engine-neutral arithmetic + a real timestamp for streaming windows.
+            df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+                "ts", F.timestamp_micros(F.col("ts_us"))
+            )
+        else:  # already a timestamp (e.g. rewritten testdata)
+            df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

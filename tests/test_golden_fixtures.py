@@ -1,0 +1,40 @@
+"""Golden-value unit tests from the reference's own worked examples
+(SURVEY.md §5: the only correctness artifacts the reference ships)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analytics_mini_projects_spark.functions.hashing import h64, h64_py
+from big_data_analytics_mini_projects_spark.functions.text import tokenize_char
+from big_data_analytics_mini_projects_spark.operators.aggregates import mean_std_chars
+from big_data_analytics_mini_projects_spark.operators.linalg import matmul_coo
+from big_data_analytics_mini_projects_spark.plans.linalgq import MATMUL_FIXTURE
+from big_data_analytics_mini_projects_spark.plans.textq import MEANCHARS_FIXTURE
+from big_data_analytics_mini_projects_spark.sources.readers import scan_coo, scan_mem
+
+
+def test_meanchars_golden(spark):
+    """Assignment 1 Description.htm:38 worked example; population σ per the
+    code (MRSystemSimulator2020.py:244), not the spec's sample σ — the
+    discrepancy pinned by SURVEY.md §7.4 trap #1."""
+    docs = scan_mem(spark, MEANCHARS_FIXTURE, "doc_id long, text string")
+    out = mean_std_chars(tokenize_char(docs), doc_count=3)
+    rows = {r["ch"]: (r["mean"], r["std"]) for r in out.collect()}
+    assert rows["a"] == (1.3333, 1.2472)
+    assert rows["b"] == (0.6667, 0.4714)
+    assert rows["c"] == (1.0, 0.0)
+    assert rows["d"] == (1.0, 0.0)
+
+
+def test_matmul_golden(spark):
+    """Part_2.pdf p1: M=[[2,1],[6,3]] x N=[[5,11],[0,1]] = [[10,23],[30,69]]."""
+    out = matmul_coo(scan_coo(spark, MATMUL_FIXTURE))
+    cells = {(r["i"], r["j"]): r["val"] for r in out.collect()}
+    assert cells == {(0, 0): 10.0, (0, 1): 23.0, (1, 0): 30.0, (1, 1): 69.0}
+
+
+def test_h64_spark_matches_python(spark):
+    df = spark.createDataFrame([("hello",), ("13",)], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", h64(F.col("s"), 7).alias("h")).collect()}
+    assert got == {"hello": h64_py("hello", 7), "13": h64_py("13", 7)}
