@@ -12,3 +12,5 @@ from . import core  # noqa: F401  (relational / TPC-H / JSON / window)
 from . import textq  # noqa: F401  (tokenizers / word count / set ops / mean-chars)
 from . import samplingq  # noqa: F401  (samplers / welford / hourly windows)
 from . import linalgq  # noqa: F401  (COO matmul)
+from . import statsq  # noqa: F401  (per-word OLS hypothesis testing)
+from . import recommendq  # noqa: F401  (item-item CF similarity + prediction)

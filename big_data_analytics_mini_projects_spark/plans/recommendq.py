@@ -1,0 +1,101 @@
+"""Collaborative-filtering queries (SURVEY.md §2.8) bound to the synthetic
+ratings derivation (FIXTURES.md §B: lineitem⋈orders -> user/item/rating).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.recommend import cf_filter_ratings, cf_item_similarities, cf_predict
+from .core import SQL_RATINGS_DEDUP, ratings_deduped
+from .registry import register
+
+#: Deterministic target-item predicates, identical in both engines.
+SIM_TARGETS = 50   # item % 50 == 0
+PRED_TARGETS = 97  # item % 97 == 0
+
+_SQL_FILTERED = f"""
+r AS ({SQL_RATINGS_DEDUP}),
+i_ok AS (SELECT item FROM r GROUP BY item HAVING COUNT(*) >= 25),
+r1 AS (SELECT r.* FROM r JOIN i_ok USING (item)),
+u_ok AS (SELECT user_id FROM r1 GROUP BY user_id HAVING COUNT(*) >= 5),
+rf AS (SELECT r1.* FROM r1 JOIN u_ok USING (user_id))
+"""
+
+
+def _sql_sims(target_mod: int) -> str:
+    return f"""
+st AS (SELECT item, COUNT(*) AS n, SUM(rating) AS s, SUM(rating*rating) AS q
+       FROM rf GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS nc,
+         SUM(a.rating * b.rating) AS p, SUM(a.rating) AS sa, SUM(b.rating) AS sb
+  FROM rf a JOIN rf b ON a.user_id = b.user_id
+  WHERE a.item % {target_mod} = 0
+  GROUP BY a.item, b.item),
+sims AS (
+  SELECT item_a, item_b, nc,
+    (p - (CAST(sta.s AS DOUBLE) / sta.n) * sb - (CAST(stb.s AS DOUBLE) / stb.n) * sa
+       + nc * (CAST(sta.s AS DOUBLE) / sta.n) * (CAST(stb.s AS DOUBLE) / stb.n))
+    / (sqrt(sta.q - CAST(sta.s AS DOUBLE) * sta.s / sta.n)
+       * sqrt(stb.q - CAST(stb.s AS DOUBLE) * stb.s / stb.n)) AS sim,
+    (sta.q - CAST(sta.s AS DOUBLE) * sta.s / sta.n) AS va,
+    (stb.q - CAST(stb.s AS DOUBLE) * stb.s / stb.n) AS vb
+  FROM pairs
+  JOIN st sta ON item_a = sta.item
+  JOIN st stb ON item_b = stb.item),
+simsf AS (SELECT item_a, item_b, nc, sim FROM sims
+          WHERE nc >= 2 AND va > 0 AND vb > 0 AND sim > 0)
+"""
+
+
+def _filtered_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cf_filter_ratings(ratings_deduped(spark, sf_dir))
+
+
+@register(
+    "cf_item_similarity",
+    oracle=(
+        f"WITH {_SQL_FILTERED}, {_sql_sims(SIM_TARGETS)} "
+        "SELECT item_a, item_b, nc, round(sim, 4) AS sim FROM simsf"
+    ),
+    doc="Centered-cosine item-item similarity for target items (cf_sim, "
+    "a3_p2.py:37-49): all targets in one self-join DAG instead of the "
+    "reference's per-item broadcast loop; integer sufficient statistics "
+    "make the doubles engine-stable.",
+    tags=("cf_sim", "join_pairs", "agg_dotprod"),
+)
+def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rf = _filtered_ratings(spark, sf_dir)
+    sims = cf_item_similarities(rf, F.col("item_a") % SIM_TARGETS == 0)
+    return sims.select("item_a", "item_b", "nc", F.round("sim", 4).alias("sim"))
+
+
+@register(
+    "cf_predict_ratings",
+    oracle=(
+        f"WITH {_SQL_FILTERED}, {_sql_sims(PRED_TARGETS)}, "
+        "sw AS (SELECT item_a AS target, item_b AS item, "
+        "CAST(round(sim * 10000) AS BIGINT) AS w FROM simsf "
+        "WHERE CAST(round(sim * 10000) AS BIGINT) > 0), "
+        "ov AS (SELECT target, user_id, COUNT(*) AS n_ov, "
+        "SUM(rating * w) AS num, SUM(w) AS den "
+        "FROM rf JOIN sw USING (item) GROUP BY target, user_id), "
+        "actual AS (SELECT item AS target, user_id, rating FROM rf "
+        "WHERE item IN (SELECT target FROM sw)) "
+        "SELECT o.target, o.user_id, "
+        "round(COALESCE(CAST(a.rating AS DOUBLE), CAST(num AS DOUBLE) / den), 4) AS pred "
+        "FROM ov o LEFT JOIN actual a ON o.target = a.target AND o.user_id = a.user_id "
+        "WHERE n_ov >= 2 "
+        "AND round(COALESCE(CAST(a.rating AS DOUBLE), CAST(num AS DOUBLE) / den), 4) > 0"
+    ),
+    doc="Weighted-average rating prediction for target items (cf_predict, "
+    "a3_p2.py:52-65,76): actual rating passed through for users who rated "
+    "the target; >=2 neighbor overlap required; 4-decimal-quantized weights "
+    "keep the weighted sums exact integers.",
+    tags=("cf_predict", "join_broadcast"),
+)
+def cf_predict_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rf = _filtered_ratings(spark, sf_dir)
+    sims = cf_item_similarities(rf, F.col("item_a") % PRED_TARGETS == 0)
+    return cf_predict(rf, sims, quantize=4)

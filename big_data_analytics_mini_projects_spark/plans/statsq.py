@@ -1,0 +1,162 @@
+"""Per-word OLS hypothesis-testing queries (SURVEY.md §2.8 ols_simple /
+ols_multi) — the engine's re-expression of a3_p1.py on the `documents` table.
+
+Binding (FIXTURES.md §B): x = relative frequency of a top-K word in a doc
+(dense: 0 when absent, a3_p1.py:55-59), y = n_chars (rating proxy),
+control = (lang = 'en') as the `verified` analog. K = 30 top words by count
+with word-asc tiebreak (the reference takes 1000; the synthetic vocabulary is
+only ~40 words).
+
+Spark computes via the applyInPandas grouped numpy fit (operators/stats.py);
+the DuckDB oracle uses the closed forms — standardized simple β = corr(x,y),
+t = r·sqrt((n-2)/(1-r²)); multivariate via the partial-correlation algebra —
+so the differential test cross-checks the UDF against independent math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import A3_TOKEN_PATTERN_SQL, tokenize_regex
+from ..operators.stats import ols_multi_grouped, ols_simple_grouped
+from ..sources.tables import load_table
+from .registry import register
+
+TOP_K = 30
+
+_SQL_DENSE = f"""
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         '{A3_TOKEN_PATTERN_SQL}', 1)) AS word FROM documents),
+tot AS (SELECT doc_id, COUNT(*) AS total FROM toks GROUP BY doc_id),
+top AS (SELECT word FROM (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+        ORDER BY cnt DESC, word ASC LIMIT {TOP_K})),
+cnts AS (SELECT doc_id, word, COUNT(*) AS c FROM toks
+         JOIN top USING (word) GROUP BY doc_id, word),
+dense AS (
+  SELECT d.doc_id, t.word,
+         CAST(COALESCE(c.c, 0) AS DOUBLE) / tot.total AS x,
+         CAST(d.n_chars AS DOUBLE) AS y,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS ctrl
+  FROM documents d
+  CROSS JOIN top t
+  JOIN tot ON d.doc_id = tot.doc_id
+  LEFT JOIN cnts c ON c.doc_id = d.doc_id AND c.word = t.word)
+"""
+
+
+def word_observations(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Dense (word, doc) observation frame — the engine's version of
+    a3_p1.py:40-66 (getFrequency + groupByKey), without the driver round-trip:
+    the top-K word list stays a broadcast DataFrame, and zeros come from a
+    left join instead of per-record closure emission."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", "lang"
+    )
+    words = tokenize_regex(docs.select("doc_id", "text")).select("doc_id", "word")
+    tot = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
+    top = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word")).limit(k).select("word")
+    )
+    cnts = (
+        words.join(F.broadcast(top), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(top))
+        .join(tot, "doc_id")
+        .join(cnts, ["doc_id", "word"], "left")
+        .select(
+            "doc_id",
+            "word",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("total")).alias("x"),
+            F.col("n_chars").cast("double").alias("y"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("ctrl"),
+        )
+    )
+
+
+@register(
+    "ols_simple_words",
+    oracle=(
+        f"WITH {_SQL_DENSE} "
+        "SELECT word, n, round(r, 4) AS beta, "
+        "round(r * sqrt((n - 2) / (1 - r * r)), 4) AS t_stat FROM "
+        "(SELECT word, COUNT(*) AS n, corr(x, y) AS r FROM dense GROUP BY word) "
+        "WHERE r IS NOT NULL AND NOT isnan(r) AND abs(r) < 1"
+    ),
+    doc="1 standardized simple OLS per top word via applyInPandas "
+    "(ols_simple, a3_p1.py:71-96); oracle cross-checks the numpy fit against "
+    "the closed form β = Pearson r.",
+    tags=("ols_simple", "agg_collect", "relfreq"),
+)
+def ols_simple_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = word_observations(spark, sf_dir)
+    fit = ols_simple_grouped(obs, "word", "x", "y", bonferroni_k=TOP_K)
+    return fit.filter(
+        ~F.isnan("beta") & F.col("beta").isNotNull() & (F.abs(F.col("beta")) < 1)
+    ).select("word", "n", F.round("beta", 4).alias("beta"), F.round("t_stat", 4).alias("t_stat"))
+
+
+@register(
+    "ols_multi_words",
+    oracle=(
+        f"WITH {_SQL_DENSE}, "
+        "cors AS (SELECT word, COUNT(*) AS n, corr(x, y) AS ryx, corr(ctrl, y) AS ryc, "
+        "corr(x, ctrl) AS rxc FROM dense GROUP BY word), "
+        "betas AS (SELECT word, n, "
+        "(ryx - ryc * rxc) / (1 - rxc * rxc) AS b1, "
+        "(ryc - ryx * rxc) / (1 - rxc * rxc) AS b2, ryx, ryc FROM cors "
+        "WHERE ryx IS NOT NULL AND NOT isnan(ryx) AND rxc IS NOT NULL AND abs(rxc) < 1) "
+        "SELECT word, n, round(b1, 4) AS beta, round(b2, 4) AS beta_ctrl, "
+        "round(b1 * sqrt((n - 3) / (1 - (b1 * ryx + b2 * ryc))), 4) AS t_stat "
+        "FROM betas WHERE (b1 * ryx + b2 * ryc) < 1"
+    ),
+    doc="Standardized 2-covariate OLS per word, controlling for lang='en' "
+    "(ols_multi, a3_p1.py:104-131, control <- `verified`); oracle uses "
+    "partial-correlation algebra, t per the reference's own SE formula.",
+    tags=("ols_multi", "bool_encode"),
+)
+def ols_multi_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = word_observations(spark, sf_dir)
+    fit = ols_multi_grouped(obs, "word", "x", "ctrl", "y", bonferroni_k=TOP_K)
+    return (
+        fit.filter(
+            ~F.isnan("beta") & F.col("beta").isNotNull() & ~F.isnan("t_stat")
+        )
+        .select(
+            "word",
+            "n",
+            F.round("beta", 4).alias("beta"),
+            F.round("beta_ctrl", 4).alias("beta_ctrl"),
+            F.round("t_stat", 4).alias("t_stat"),
+        )
+    )
+
+
+@register(
+    "ols_words_pvalues",
+    oracle=None,  # t-distribution sf is not SQL-expressible; rows-only check +
+    # golden-value unit tests in tests/test_stats.py
+    doc="Full reference output shape: β, two-sided p, Bonferroni-corrected p "
+    "(×K, a3_p1.py:94-96) per word, top-20 by β with tiebreak — the engine "
+    "twin of a3_p1's pos_corr list.",
+    tags=("ols_simple", "topk"),
+)
+def ols_words_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = word_observations(spark, sf_dir)
+    fit = ols_simple_grouped(obs, "word", "x", "y", bonferroni_k=TOP_K)
+    return (
+        fit.filter(~F.isnan("beta"))
+        .select(
+            "word",
+            "n",
+            F.round("beta", 4).alias("beta"),
+            F.round("t_stat", 4).alias("t_stat"),
+            F.round("p_value", 6).alias("p_value"),
+            F.round("p_bonf", 6).alias("p_bonf"),
+        )
+        .orderBy(F.desc("beta"), F.asc("word"))
+        .limit(20)
+    )

@@ -1,0 +1,87 @@
+"""CF parity test: the DataFrame operators vs a pure-Python replica of the
+reference algorithm (a3_p2.py find_similar/calculate) on a small fixture —
+independently validating the sufficient-statistics expansion."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_mini_projects_spark.operators.recommend import (
+    cf_filter_ratings,
+    cf_item_similarities,
+    cf_predict,
+)
+
+# (user, item, rating): 4 items over 6 users, hand-sized so every item has
+# >=3 users and every user >=2 items (filters relaxed below).
+RATINGS = [
+    ("u1", "A", 5), ("u1", "B", 3), ("u1", "C", 4),
+    ("u2", "A", 4), ("u2", "B", 2), ("u2", "D", 5),
+    ("u3", "A", 1), ("u3", "C", 2), ("u3", "D", 4),
+    ("u4", "B", 5), ("u4", "C", 3), ("u4", "D", 2),
+    ("u5", "A", 3), ("u5", "B", 4), ("u5", "C", 5), ("u5", "D", 1),
+    ("u6", "A", 2), ("u6", "D", 3),
+]
+
+
+def _ref_similarity(target: str):
+    """find_similar (a3_p2.py:37-49): numerator over common users, each vector
+    centered by its own full-support mean, norms over full support."""
+    by_item: dict[str, dict[str, float]] = {}
+    for u, i, r in RATINGS:
+        by_item.setdefault(i, {})[u] = float(r)
+    tv = by_item[target]
+    t_mean = sum(tv.values()) / len(tv)
+    t_cent = {u: v - t_mean for u, v in tv.items()}
+    t_norm = math.sqrt(sum(v * v for v in t_cent.values()))
+    sims = {}
+    for item, vec in by_item.items():
+        common = set(vec) & set(t_cent)
+        if len(common) < 2:
+            continue
+        m = sum(vec.values()) / len(vec)
+        cent = {u: v - m for u, v in vec.items()}
+        num = sum(t_cent[u] * cent[u] for u in common)
+        den = t_norm * math.sqrt(sum(v * v for v in cent.values()))
+        sim = num / den
+        if sim > 0:
+            sims[item] = sim
+    return sims
+
+
+def test_cf_similarity_matches_reference_semantics(spark):
+    rdf = spark.createDataFrame(RATINGS, "user_id string, item string, rating long")
+    rf = cf_filter_ratings(rdf, min_users_per_item=3, min_items_per_user=2)
+    sims = cf_item_similarities(rf, F.col("item_a") == "A")
+    got = {r["item_b"]: r["sim"] for r in sims.collect()}
+    want = _ref_similarity("A")
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert got["A"] == pytest.approx(1.0, abs=1e-12)  # self-similarity kept
+
+
+def test_cf_predict_matches_reference_semantics(spark):
+    rdf = spark.createDataFrame(RATINGS, "user_id string, item string, rating long")
+    rf = cf_filter_ratings(rdf, min_users_per_item=3, min_items_per_user=2)
+    sims = cf_item_similarities(rf, F.col("item_a") == "A")
+    preds = {r["user_id"]: r["pred"] for r in cf_predict(rf, sims, quantize=None).collect()}
+
+    want_sims = _ref_similarity("A")
+    ratings_by_user: dict[str, dict[str, float]] = {}
+    for u, i, r in RATINGS:
+        ratings_by_user.setdefault(u, {})[i] = float(r)
+    for u, rated in ratings_by_user.items():
+        overlap = set(rated) & set(want_sims)
+        if len(overlap) < 2:
+            assert u not in preds
+            continue
+        if "A" in rated:  # pass-through (a3_p2.py:54-55)
+            assert preds[u] == pytest.approx(rated["A"], abs=1e-9)
+        else:
+            num = sum(rated[i] * want_sims[i] for i in overlap)
+            den = sum(want_sims[i] for i in overlap)
+            assert preds[u] == pytest.approx(round(num / den, 4), abs=1e-4)
