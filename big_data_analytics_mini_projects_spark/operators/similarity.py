@@ -1,0 +1,246 @@
+"""MinHash / LSH / near-duplicate detection (SURVEY.md §2.7 + the
+training-data dedup suite: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Reference: Part_2.pdf p3-7 — signature construction without materialized
+permutations (p4), banding with the 1-(1-s^r)^b capture probability (p5-6),
+and the truncated first-m-rows speedup (p7). The engine keeps those
+algorithms and re-expresses them as DataFrame aggregations over the
+cross-engine md5 hash (functions/hashing.py), so every stage is
+oracle-checkable in DuckDB.
+
+Scale design:
+- signatures: tokens × H rows -> groupBy(key, seed) min(hash). One shuffle,
+  integer min-combine (map-side partial), linear in corpus size. For very
+  wide H, the array formulation (collect tokens once, H array_min's) trades
+  shuffle volume for per-row CPU; the rows form keeps whole-stage codegen.
+- banding: groupBy(key, band) with an order-pinned concat; candidates come
+  from an equi-join on (band, band_sig) — bucket sizes are the only
+  quadratic term, exactly the LSH point.
+- simhash: 4×15-bit block index; candidate pairs share a block (standard
+  Charikar blocking), verified by Hamming distance via bit_count(xor).
+- n-gram Jaccard: shingle-inverted-index join with a document-frequency cap
+  on shingles (hot-shingle skew guard at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: (pos, 2^pos) literals for 60-bit arithmetic — double pow() is inexact past
+#: 2^53, so both engines get the exact powers as data, not math.
+BIT_POWERS = [(p, 1 << p) for p in range(60)]
+
+
+def _h64_seeded(col: Column, seed_col: Column) -> Column:
+    """60-bit md5 hash with a *column* seed: int(md5('{seed}:{v}')[:15], 16)."""
+    s = F.concat(seed_col.cast("string"), F.lit(":"), col.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def sql_h64_seeded(expr: str, seed_expr: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({seed_expr} AS VARCHAR) || ':' || "
+        f"CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+    )
+
+
+def minhash_signatures(
+    tokens: DataFrame,
+    key: str = "doc_id",
+    token_col: str = "word",
+    num_hashes: int = 32,
+    row_fraction: tuple[int, int] | None = None,
+) -> DataFrame:
+    """(key, seed, mh) minhash signature rows over distinct tokens per key.
+
+    One map per element per hash function, no permutations materialized —
+    the Part_2.pdf p4 formulation. ``row_fraction=(m, r)`` keeps only tokens
+    with h(token) % r < m: the first-m-rows truncation of Part_2.pdf p7
+    (keys whose tokens all fall outside the subset simply produce no rows —
+    the reference's ∞ signature)."""
+    t = tokens.select(key, token_col).distinct()
+    if row_fraction is not None:
+        m, r = row_fraction
+        t = t.filter(_h64_seeded(F.col(token_col), F.lit("rowsel")) % r < m)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        t.select(key, token_col, seeds)
+        .groupBy(key, "seed")
+        .agg(F.min(_h64_seeded(F.col(token_col), F.col("seed"))).alias("mh"))
+    )
+
+
+def minhash_jaccard(
+    sigs: DataFrame, num_hashes: int, key: str = "doc_id"
+) -> DataFrame:
+    """Pairwise Jaccard estimates: fraction of agreeing signature rows
+    (E[agreement] = J, exactly 0 when J = 0 — Part_2.pdf p3-4).
+    Emits (key_a, key_b, n_sig, est) for key_a < key_b pairs that share at
+    least one signature row slot; est counts agreements / num_hashes."""
+    a = sigs.select(F.col(key).alias("ka"), "seed", F.col("mh").alias("mha"))
+    b = sigs.select(F.col(key).alias("kb"), "seed", F.col("mh").alias("mhb"))
+    return (
+        a.join(b, "seed")
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(
+            F.count(F.lit(1)).alias("n_sig"),
+            (
+                F.sum((F.col("mha") == F.col("mhb")).cast("bigint"))
+                / F.lit(float(num_hashes))
+            ).alias("est"),
+        )
+    )
+
+
+def lsh_bands(
+    sigs: DataFrame, rows_per_band: int, key: str = "doc_id"
+) -> DataFrame:
+    """(key, band, band_sig): md5 over the band's signature rows in seed order
+    (Part_2.pdf p5: sets agreeing on a whole band become candidates)."""
+    banded = sigs.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+    ordered = F.array_sort(F.collect_list(F.struct("seed", "mh")))
+    concat = F.array_join(F.transform(ordered, lambda s: s["mh"].cast("string")), "-")
+    return banded.groupBy(key, "band").agg(F.md5(concat).alias("band_sig"))
+
+
+def lsh_candidates(bands: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs sharing >=1 band (ka < kb)."""
+    a = bands.select(F.col(key).alias("ka"), "band", "band_sig")
+    b = bands.select(F.col(key).alias("kb"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb")
+        .distinct()
+    )
+
+
+def lsh_capture_probability(s: float, r: int, b: int) -> float:
+    """Closed-form P(candidate | Jaccard=s) = 1 - (1 - s^r)^b (Part_2.pdf p5-6)."""
+    return 1.0 - (1.0 - s**r) ** b
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups by content hash: (text_hash, n_docs, keeper) —
+    keeper = min key, the row a dedup pipeline would retain."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(key).alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_values(
+    tokens: DataFrame, spark=None, key: str = "doc_id", token_col: str = "word"
+) -> DataFrame:
+    """60-bit SimHash per key over distinct tokens (Charikar): bit p of the
+    fingerprint is 1 iff Σ_tokens (2·bit_p(h(token)) - 1) > 0.
+
+    Returns (key, simhash, b0..b3) where b0..b3 are the 4 15-bit blocks used
+    for candidate blocking. Powers of two arrive as literal data (exactness
+    past 2^53)."""
+    spark = spark or tokens.sparkSession
+    bits = spark.createDataFrame(BIT_POWERS, "pos int, p2 long")
+    t = tokens.select(key, token_col).distinct().withColumn(
+        "h", _h64_seeded(F.col(token_col), F.lit("sh"))
+    )
+    # integer div, not / : h spans 60 bits, past double's 2^53 exactness
+    contrib = (
+        t.crossJoin(F.broadcast(bits))
+        .groupBy(key, "pos", "p2")
+        .agg(F.sum((F.expr("(h div p2) % 2")) * 2 - 1).alias("c"))
+    )
+    bit = (F.col("c") > 0).cast("long")
+    return (
+        contrib.withColumn("bit", bit)
+        .groupBy(key)
+        .agg(
+            F.sum(F.col("bit") * F.col("p2")).alias("simhash"),
+            *[
+                F.sum(
+                    F.when(
+                        F.expr(f"pos div 15") == blk,
+                        F.col("bit") * F.expr("cast(pow(2, pos % 15) as long)"),
+                    ).otherwise(F.lit(0))
+                ).alias(f"b{blk}")
+                for blk in range(4)
+            ],
+        )
+    )
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 8, key: str = "doc_id") -> DataFrame:
+    """Candidate pairs sharing any 15-bit block, verified by Hamming distance
+    bit_count(xor) <= max_hamming. Returns (ka, kb, hamming)."""
+    blocks = None
+    for blk in range(4):
+        part = sim.select(
+            F.col(key).alias("k"), F.lit(blk).alias("blk"), F.col(f"b{blk}").alias("bv")
+        )
+        blocks = part if blocks is None else blocks.unionAll(part)
+    a = blocks.select(F.col("k").alias("ka"), "blk", "bv")
+    b = blocks.select(F.col("k").alias("kb"), "blk", "bv")
+    cand = (
+        a.join(b, ["blk", "bv"]).filter(F.col("ka") < F.col("kb")).select("ka", "kb").distinct()
+    )
+    ha = sim.select(F.col(key).alias("ka"), F.col("simhash").alias("ha"))
+    hb = sim.select(F.col(key).alias("kb"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(ha, "ka")
+        .join(hb, "kb")
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ka", "kb", "hamming")
+    )
+
+
+def ngram_shingles(
+    docs: DataFrame, n: int = 3, key: str = "doc_id", tokens_col: str = "toks"
+) -> DataFrame:
+    """Distinct word n-gram shingles per key from a token-*array* column.
+
+    Shingling is a per-row array transform (slice + join over a generated
+    index sequence) — zero shuffle, whole-stage codegen; the windowed
+    lead() formulation would shuffle the corpus by key for no reason."""
+    expr = (
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> array_join(slice({tokens_col}, i, {n}), ' ')) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return docs.select(key, F.explode(F.expr(expr)).alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, min_jaccard: float = 0.2, df_cap: int = 500, key: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
+
+    ``df_cap`` drops shingles appearing in more than df_cap docs before the
+    inverted-index join — the hot-shingle skew guard; at 100 TB this cap is
+    what keeps bucket joins from going quadratic on boilerplate text.
+    Returns (ka, kb, n_common, jaccard)."""
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keep = shingles.join(
+        F.broadcast(freq.filter(F.col("df") <= df_cap).select("shingle")), "shingle"
+    )
+    sizes = shingles.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = keep.select(F.col(key).alias("ka"), "shingle")
+    b = keep.select(F.col(key).alias("kb"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(key).alias("ka"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(key).alias("kb"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "ka")
+        .join(sb, "kb")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("ka", "kb", "n_common", "jaccard")
+    )

@@ -14,3 +14,4 @@ from . import samplingq  # noqa: F401  (samplers / welford / hourly windows)
 from . import linalgq  # noqa: F401  (COO matmul)
 from . import statsq  # noqa: F401  (per-word OLS hypothesis testing)
 from . import recommendq  # noqa: F401  (item-item CF similarity + prediction)
+from . import similarityq  # noqa: F401  (minhash / LSH / dedup suite)

@@ -1,0 +1,252 @@
+"""MinHash / LSH / dedup queries (SURVEY.md §2.7 + training-data dedup suite)
+over the `documents` table.
+
+All hash math uses the cross-engine md5 h64 (functions/hashing.py), so each
+pipeline stage is reproduced verbatim in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.similarity import (
+    BIT_POWERS,
+    dedup_exact,
+    lsh_bands,
+    lsh_candidates,
+    minhash_jaccard,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    ngram_shingles,
+    simhash_near_pairs,
+    simhash_values,
+)
+from ..functions.text import sql_tokens_ws, tokenize_ws
+from ..sources.tables import load_table
+from .registry import register
+
+NUM_HASHES = 32
+ROWS_PER_BAND = 4  # -> 8 bands; s* = (1/8)^(1/4) ~ 0.6 dedup threshold
+PAIR_DOC_LIMIT = 40  # doc_id < 40 for the all-pairs estimate queries
+
+_SQL_H64 = "('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || word), 1, 15))::BIGINT"
+
+_SQL_SIGS = f"""
+toks AS (SELECT DISTINCT doc_id, word FROM ({sql_tokens_ws()})),
+seeds AS (SELECT unnest(range({NUM_HASHES})) AS seed),
+sigs AS (SELECT doc_id, seed, MIN({_SQL_H64}) AS mh
+         FROM toks CROSS JOIN seeds GROUP BY doc_id, seed)
+"""
+
+
+def _ws_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tokenize_ws(docs).select("doc_id", "word")
+
+
+@register(
+    "minhash_jaccard",
+    oracle=(
+        f"WITH {_SQL_SIGS} "
+        f"SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS n_sig, "
+        f"SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / {float(NUM_HASHES)} AS est "
+        f"FROM sigs a JOIN sigs b USING (seed) "
+        f"WHERE a.doc_id < b.doc_id AND a.doc_id < {PAIR_DOC_LIMIT} "
+        f"AND b.doc_id < {PAIR_DOC_LIMIT} "
+        f"GROUP BY a.doc_id, b.doc_id"
+    ),
+    doc="MinHash signatures (32 seeded hash fns, no materialized permutations "
+    "— Part_2.pdf p4) + pairwise Jaccard estimates over a doc subset "
+    "(minhash_sig; E[agreement]=J, =0 exactly when J=0, Part_2.pdf p3).",
+    tags=("minhash_sig",),
+)
+def minhash_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _ws_tokens(spark, sf_dir).filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    sigs = minhash_signatures(toks, num_hashes=NUM_HASHES)
+    return minhash_jaccard(sigs, NUM_HASHES)
+
+
+@register(
+    "minhash_fast_jaccard",
+    oracle=(
+        "WITH toksall AS (SELECT DISTINCT doc_id, word FROM "
+        f"({sql_tokens_ws()})), "
+        "toks AS (SELECT * FROM toksall WHERE "
+        "(('0x' || substr(md5('rowsel:' || word), 1, 15))::BIGINT) % 2 < 1), "
+        f"seeds AS (SELECT unnest(range({NUM_HASHES})) AS seed), "
+        f"sigs AS (SELECT doc_id, seed, MIN({_SQL_H64}) AS mh "
+        "FROM toks CROSS JOIN seeds GROUP BY doc_id, seed) "
+        f"SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS n_sig, "
+        f"SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / {float(NUM_HASHES)} AS est "
+        f"FROM sigs a JOIN sigs b USING (seed) "
+        f"WHERE a.doc_id < b.doc_id AND a.doc_id < {PAIR_DOC_LIMIT} "
+        f"AND b.doc_id < {PAIR_DOC_LIMIT} "
+        f"GROUP BY a.doc_id, b.doc_id"
+    ),
+    doc="Truncated minhash (first-m-rows speedup, Part_2.pdf p7 / MMDS 3.3.6): "
+    "signatures over the half of the token universe selected by a row hash; "
+    "sets with no selected tokens drop out (the reference's ∞ signature).",
+    tags=("minhash_fast",),
+)
+def minhash_fast_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _ws_tokens(spark, sf_dir).filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    sigs = minhash_signatures(toks, num_hashes=NUM_HASHES, row_fraction=(1, 2))
+    return minhash_jaccard(sigs, NUM_HASHES)
+
+
+_SQL_BANDS = f"""
+bands AS (SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
+          md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_sig
+          FROM sigs GROUP BY doc_id, band)
+"""
+
+
+@register(
+    "lsh_candidates",
+    oracle=(
+        f"WITH {_SQL_SIGS}, {_SQL_BANDS} "
+        "SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb "
+        "FROM bands a JOIN bands b USING (band, band_sig) "
+        "WHERE a.doc_id < b.doc_id"
+    ),
+    doc="LSH banding -> candidate pairs (lsh_band, Part_2.pdf p5-6): 32-row "
+    "signatures split into 8 bands x 4 rows; pairs agreeing on any whole "
+    "band become candidates (capture prob 1-(1-s^4)^8).",
+    tags=("lsh_band",),
+)
+def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_ws_tokens(spark, sf_dir), num_hashes=NUM_HASHES)
+    return lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=(
+        f"WITH {_SQL_SIGS}, {_SQL_BANDS}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb "
+        "FROM bands a JOIN bands b USING (band, band_sig) WHERE a.doc_id < b.doc_id) "
+        "SELECT ka, kb, "
+        f"SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(NUM_HASHES)} AS est "
+        "FROM cand JOIN sigs sa ON ka = sa.doc_id JOIN sigs sb "
+        "ON kb = sb.doc_id AND sa.seed = sb.seed "
+        "GROUP BY ka, kb "
+        f"HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(NUM_HASHES)} >= 0.5"
+    ),
+    doc="Full near-dup pipeline: shingle->minhash->band->bucket-join->verify "
+    "(candidates re-scored by signature agreement, kept at est>=0.5) — the "
+    "shape a 100 TB dedup job runs; only candidate pairs are ever scored.",
+    tags=("lsh_band", "minhash_sig", "dedup"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_ws_tokens(spark, sf_dir), num_hashes=NUM_HASHES)
+    cand = lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND))
+    sa = sigs.select(F.col("doc_id").alias("ka"), "seed", F.col("mh").alias("mha"))
+    sb = sigs.select(F.col("doc_id").alias("kb"), "seed", F.col("mh").alias("mhb"))
+    est = (
+        cand.join(sa, "ka")
+        .join(sb, ["kb", "seed"])
+        .groupBy("ka", "kb")
+        .agg(
+            (
+                F.sum((F.col("mha") == F.col("mhb")).cast("bigint"))
+                / F.lit(float(NUM_HASHES))
+            ).alias("est")
+        )
+        .filter(F.col("est") >= 0.5)
+    )
+    return est
+
+
+@register(
+    "dedup_exact",
+    oracle=(
+        "SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper "
+        "FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1"
+    ),
+    doc="Exact-duplicate groups by content hash (hash-groupBy dedup): "
+    "(hash, group size, keeper=min doc_id).",
+    tags=("dedup",),
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_SIMHASH = f"""
+bits(pos, p2) AS (VALUES {', '.join(f'({p}, {v})' for p, v in BIT_POWERS)}),
+stoks AS (SELECT DISTINCT doc_id, word FROM ({sql_tokens_ws()})),
+th AS (SELECT doc_id, ('0x' || substr(md5('sh:' || word), 1, 15))::BIGINT AS h FROM stoks),
+contrib AS (SELECT doc_id, pos, p2, SUM(((h // p2) % 2) * 2 - 1) AS c
+            FROM th CROSS JOIN bits GROUP BY doc_id, pos, p2),
+bitv AS (SELECT doc_id, pos, p2, CASE WHEN c > 0 THEN 1 ELSE 0 END AS bit FROM contrib),
+sim AS (SELECT doc_id, SUM(bit * p2) AS simhash,
+        SUM(CASE WHEN pos // 15 = 0 THEN bit * CAST(pow(2, pos % 15) AS BIGINT) ELSE 0 END) AS b0,
+        SUM(CASE WHEN pos // 15 = 1 THEN bit * CAST(pow(2, pos % 15) AS BIGINT) ELSE 0 END) AS b1,
+        SUM(CASE WHEN pos // 15 = 2 THEN bit * CAST(pow(2, pos % 15) AS BIGINT) ELSE 0 END) AS b2,
+        SUM(CASE WHEN pos // 15 = 3 THEN bit * CAST(pow(2, pos % 15) AS BIGINT) ELSE 0 END) AS b3
+        FROM bitv GROUP BY doc_id),
+blocks AS (SELECT doc_id, 0 AS blk, b0 AS bv FROM sim UNION ALL
+           SELECT doc_id, 1, b1 FROM sim UNION ALL
+           SELECT doc_id, 2, b2 FROM sim UNION ALL
+           SELECT doc_id, 3, b3 FROM sim),
+cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+         FROM blocks a JOIN blocks b USING (blk, bv) WHERE a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=(
+        f"WITH {_SQL_SIMHASH} "
+        "SELECT ka, kb, bit_count(xor(ha.simhash, hb.simhash)) AS hamming "
+        "FROM cand JOIN sim ha ON ka = ha.doc_id JOIN sim hb ON kb = hb.doc_id "
+        "WHERE bit_count(xor(ha.simhash, hb.simhash)) <= 8"
+    ),
+    doc="SimHash near-dup detection: 60-bit Charikar fingerprint per doc, "
+    "4x15-bit block candidate blocking, Hamming<=8 verification via "
+    "bit_count(xor) — the constant-space complement to MinHash dedup.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = simhash_values(_ws_tokens(spark, sf_dir), spark)
+    return simhash_near_pairs(sim, max_hamming=8)
+
+
+_SQL_SHINGLES = """
+tarr AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE []::VARCHAR[] END) AS shingle FROM tarr)),
+freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+keep AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE df <= 500),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS n_common
+           FROM keep a JOIN keep b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=(
+        f"WITH {_SQL_SHINGLES} "
+        "SELECT ka, kb, n_common, round(jac, 4) AS jaccard FROM ("
+        "SELECT ka, kb, n_common, "
+        "CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jac "
+        "FROM common JOIN sizes sa ON ka = sa.doc_id JOIN sizes sb ON kb = sb.doc_id) "
+        "WHERE jac >= 0.2"
+    ),
+    doc="Word-trigram Jaccard near-dup pairs: per-row array shingling (no "
+    "shuffle), shingle inverted-index join with df<=500 hot-shingle cap, "
+    "exact Jaccard >= 0.2.",
+    tags=("dedup", "ngram"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+    )
+    sh = ngram_shingles(docs, n=3)
+    out = ngram_jaccard_pairs(sh, min_jaccard=0.2, df_cap=500)
+    return out.select("ka", "kb", "n_common", F.round("jaccard", 4).alias("jaccard"))

@@ -1,0 +1,100 @@
+"""Property/golden tests for the MinHash/LSH suite on the reference's own
+fixture sets (Part_2.pdf p4; FIXTURES.md §A4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_mini_projects_spark.operators.similarity import (
+    dedup_exact,
+    lsh_bands,
+    lsh_candidates,
+    lsh_capture_probability,
+    minhash_jaccard,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    ngram_shingles,
+    simhash_near_pairs,
+    simhash_values,
+)
+
+#: Part_2.pdf p4 fixture: S1={a,e}, S2={c,d}, S3={b}, S4={a,d,e}.
+SETS = [(1, "a"), (1, "e"), (2, "c"), (2, "d"), (3, "b"), (4, "a"), (4, "d"), (4, "e")]
+
+
+def _tokens(spark):
+    return spark.createDataFrame(SETS, "doc_id long, word string")
+
+
+def test_minhash_estimates_jaccard(spark):
+    """E[sig agreement] = Jaccard; exactly 0 when J=0 (Part_2.pdf p3)."""
+    sigs = minhash_signatures(_tokens(spark), num_hashes=500)
+    est = {
+        (r["ka"], r["kb"]): r["est"]
+        for r in minhash_jaccard(sigs, 500).collect()
+    }
+    assert est[(1, 2)] == 0.0  # disjoint sets -> exact zero
+    assert est[(1, 4)] == pytest.approx(2 / 3, abs=0.08)
+    assert est[(2, 4)] == pytest.approx(1 / 4, abs=0.08)
+    assert est[(1, 3)] == 0.0 and est[(2, 3)] == 0.0 and est[(3, 4)] == 0.0
+
+
+def test_lsh_identical_sets_always_candidates(spark):
+    dup = SETS + [(9, "a"), (9, "e")]  # doc 9 duplicates doc 1
+    sigs = minhash_signatures(
+        spark.createDataFrame(dup, "doc_id long, word string"), num_hashes=32
+    )
+    cand = {(r["ka"], r["kb"]) for r in lsh_candidates(lsh_bands(sigs, 4)).collect()}
+    assert (1, 9) in cand
+    assert (1, 2) not in cand  # disjoint sets share no band
+
+
+def test_lsh_capture_probability_table():
+    """Part_2.pdf p5-6 closed-form table."""
+    assert lsh_capture_probability(0.75, 5, 100) >= 0.9999  # stated as ">= 0.9999"
+    assert lsh_capture_probability(0.9, 17, 29) == pytest.approx(0.995, abs=5e-3)
+    assert lsh_capture_probability(0.9, 16, 31) == pytest.approx(0.9983, abs=5e-4)
+    assert lsh_capture_probability(0.9, 19, 27) == pytest.approx(0.9801, abs=1e-3)
+    assert lsh_capture_probability(0.9, 25, 20) == pytest.approx(0.7746, abs=5e-4)
+    assert lsh_capture_probability(0.9, 18, 28) == pytest.approx(0.99, abs=5e-3)
+
+
+def test_dedup_exact_finds_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd"), (3, "aa bb"), (4, "ee"), (5, "aa bb")],
+        "doc_id long, text string",
+    )
+    out = dedup_exact(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 3 and out[0]["keeper"] == 1
+
+
+def test_simhash_duplicates_and_near_duplicates(spark):
+    base = [(i, f"tok{j}") for i in (1, 2) for j in range(20)]  # identical docs 1,2
+    near = [(3, f"tok{j}") for j in range(18)] + [(3, "zz1"), (3, "zz2")]
+    far = [(4, f"other{j}") for j in range(20)]
+    toks = spark.createDataFrame(base + near + far, "doc_id long, word string")
+    sim = simhash_values(toks, spark)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[1] == vals[2]
+    pairs = {(r["ka"], r["kb"]): r["hamming"] for r in simhash_near_pairs(sim, 12).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    if (1, 3) in pairs:  # near-dup usually survives with small hamming
+        assert pairs[(1, 3)] <= 12
+
+
+def test_ngram_jaccard_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog".split(" ")),
+            (2, "the quick brown fox jumps over the lazy cat".split(" ")),
+            (3, "completely different words here entirely now".split(" ")),
+        ],
+        "doc_id long, toks array<string>",
+    )
+    sh = ngram_shingles(docs, n=3)
+    out = {(r["ka"], r["kb"]): r["jaccard"] for r in ngram_jaccard_pairs(sh, 0.2).collect()}
+    assert (1, 2) in out and out[(1, 2)] == pytest.approx(6 / 8, abs=1e-9)
+    assert (1, 3) not in out
