@@ -15,3 +15,4 @@ from . import linalgq  # noqa: F401  (COO matmul)
 from . import statsq  # noqa: F401  (per-word OLS hypothesis testing)
 from . import recommendq  # noqa: F401  (item-item CF similarity + prediction)
 from . import similarityq  # noqa: F401  (minhash / LSH / dedup suite)
+from . import vectorq  # noqa: F401  (embedding ANN / cosine dedup)
