@@ -1,0 +1,144 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference
+suite: language ID, quality scoring, token counting, fingerprinting).
+
+All stages are built-in expression compositions (codegen'd, shuffle only at
+the declared aggregations); the only quadratic-ish structure — trigram
+profiles — is bounded by (n_langs × 20) rows and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import h64_sql  # noqa: F401  (oracle builders live in plans)
+
+#: Stopword list for quality scoring — literal, mirrored in the SQL oracle.
+STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it")
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+BPE_PATTERN = r"([a-z]+|[0-9]+|[^a-z0-9\s])"
+
+
+def char_trigrams(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(key, tg) — one row per character trigram of the lowercased text."""
+    expr = (
+        f"CASE WHEN length(lower({text_col})) >= 3 THEN "
+        f"transform(sequence(1, length(lower({text_col})) - 2), "
+        f"i -> substring(lower({text_col}), i, 3)) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return docs.select(key, F.explode(F.expr(expr)).alias("tg"))
+
+
+def lang_trigram_profiles(
+    trigrams_with_lang: DataFrame, top_n: int = 20
+) -> DataFrame:
+    """(lang, tg) — the top-N trigrams per language by corpus frequency
+    (count desc, trigram asc tiebreak): the n-gram language profile of
+    Cavnar-Trenkle-style language ID, trained on the corpus itself."""
+    counts = trigrams_with_lang.groupBy("lang", "tg").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tg"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("lang", "tg")
+    )
+
+
+def lang_id(docs: DataFrame, profiles: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Predict each doc's language: argmax over languages of the number of
+    doc trigram occurrences hitting the language's profile (score desc,
+    lang asc tiebreak). Returns (key, pred_lang, score). Docs matching no
+    profile trigram are dropped (identically on both engines)."""
+    tg = char_trigrams(docs, key)
+    doc_tg = tg.groupBy(key, "tg").agg(F.count(F.lit(1)).alias("c"))
+    scores = (
+        doc_tg.join(F.broadcast(profiles), "tg")
+        .groupBy(key, "lang")
+        .agg(F.sum("c").alias("score"))
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(key, F.col("lang").alias("pred_lang"), "score")
+    )
+
+
+def text_quality(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality metrics from integer counts (engine-stable divisions):
+    token count, distinct-token (type) count, mean token length, stopword
+    ratio, type-token ratio, and a weighted quality score in [0, 1]."""
+    toks = F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    d = docs.select(
+        key,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.expr(
+            f"aggregate(filter(split(lower({text_col}), ' '), x -> x <> ''), "
+            f"0L, (acc, x) -> acc + length(x))"
+        ).alias("char_sum"),
+        F.size(F.expr(f"filter(filter(split(lower({text_col}), ' '), x -> x <> ''), "
+                      f"x -> array_contains(array({stop_arr}), x))")).alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    avg_len = F.col("char_sum").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens")
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens").cast("double") / 100)
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * ttr
+    )
+    return d.select(
+        key,
+        "n_tokens",
+        "n_types",
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per doc — array sizes, no explode,
+    no shuffle: the cheapest possible token accounting at 100 TB."""
+    ws = F.size(F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')"))
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 1))
+    return docs.select(key, ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def doc_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4, key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): hash all
+    k-char grams, keep the minimum hash of every sliding window of
+    ``window`` consecutive grams, dedupe. Guarantees any shared substring of
+    length >= k + window - 1 yields a shared fingerprint — the matching
+    property plagiarism/near-dup detectors rely on.
+
+    Returns distinct (key, fp) rows. The windowed min runs per-doc
+    (partitioned window, no global sort)."""
+    grams = docs.select(
+        key,
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN length(lower({text_col})) >= {k} THEN "
+                f"transform(sequence(1, length(lower({text_col})) - {k - 1}), "
+                f"i -> substring(lower({text_col}), i, {k})) "
+                f"ELSE cast(array() as array<string>) END"
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        key,
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fp:"), F.col("gram"))), 1, 15), 16, 10
+        ).cast("long").alias("h"),
+    )
+    w = Window.partitionBy(key).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(w)).select(key, "fp").distinct()
+    )

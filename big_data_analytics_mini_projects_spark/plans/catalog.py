@@ -16,3 +16,5 @@ from . import statsq  # noqa: F401  (per-word OLS hypothesis testing)
 from . import recommendq  # noqa: F401  (item-item CF similarity + prediction)
 from . import similarityq  # noqa: F401  (minhash / LSH / dedup suite)
 from . import vectorq  # noqa: F401  (embedding ANN / cosine dedup)
+from . import textanalysisq  # noqa: F401  (lang-id / quality / tokens / fingerprints)
+from . import multimodalq  # noqa: F401  (multimodal decode plumbing + streaming)

@@ -1,0 +1,94 @@
+"""Multimodal + streaming catalog queries.
+
+The streaming queries run REAL Structured Streaming jobs (availableNow
+trigger to a memory sink) and return the final table — so the correctness
+gate covers the streaming engine, not just a batch stand-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.multimodal import extract_binary_meta, sample_frames, with_binary_payload
+from ..sources.tables import load_table
+from ..streaming.stream_stats import (
+    events_stream,
+    run_available_now,
+    stream_global_stats,
+    stream_hourly_counts,
+)
+from .registry import register
+
+
+@register(
+    "multimodal_meta",
+    oracle=(
+        "SELECT doc_id, strlen(text) AS byte_len, substr(md5(text), 1, 8) AS sig, "
+        "('0x' || substr(md5(text), 9, 4))::BIGINT % 1024 AS fake_width, "
+        "('0x' || substr(md5(text), 13, 4))::BIGINT % 1024 AS fake_height "
+        "FROM documents"
+    ),
+    doc="Binary-column metadata extraction via Arrow-batched mapInPandas "
+    "(bytes in -> typed struct out): the exact plumbing of an image decoder, "
+    "with a deterministic fake kernel (real codecs stubbed, "
+    "operators/multimodal.py).",
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_binary_meta(with_binary_payload(docs))
+
+
+@register(
+    "multimodal_frames",
+    oracle=(
+        "SELECT doc_id, unnest(range((strlen(text) % 3) + 1)) AS frame_idx, "
+        "substr(md5(text || ':' || CAST(unnest(range((strlen(text) % 3) + 1)) AS VARCHAR)), "
+        "1, 8) AS frame_sig FROM documents"
+    ),
+    doc="One-to-many frame sampling (video UDTF shape) via mapInPandas: each "
+    "payload expands to a deterministic number of fake frames with derived "
+    "signatures.",
+    tags=("multimodal",),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample_frames(with_binary_payload(docs))
+
+
+@register(
+    "streaming_welford_stats",
+    oracle=(
+        "SELECT COUNT(*) AS n, "
+        "round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS mean, "
+        "round(sqrt(CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) "
+        "- (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) "
+        "* (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))), 4) AS std "
+        "FROM events"
+    ),
+    doc="Structured Streaming global (n, mean, σ_pop): a real streaming job "
+    "(availableNow -> memory sink) whose single state row is the Welford "
+    "triple as exact decimal sufficient statistics (agg_welford streaming "
+    "flavor, sampler_v02.py:81-87).",
+    tags=("streaming", "agg_welford"),
+    bench=False,  # streaming job startup dominates; batch twin is benched
+)
+def streaming_welford_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(stream_global_stats(events_stream(spark, sf_dir)))
+
+
+@register(
+    "streaming_hourly_counts",
+    oracle=(
+        "SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type, "
+        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY window_start_us, event_type"
+    ),
+    doc="Watermarked tumbling-window streaming aggregation (1h windows, 2h "
+    "watermark) run to completion via availableNow — the event-time windowed "
+    "agg of SURVEY.md §2.11, checked against the batch date_trunc twin.",
+    tags=("streaming",),
+    bench=False,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(stream_hourly_counts(events_stream(spark, sf_dir)))

@@ -1,0 +1,130 @@
+"""Text-analysis queries (language ID, quality, token counts, fingerprints)
+over `documents` — the training-data-pipeline surface beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.textops import (
+    STOPWORDS,
+    char_trigrams,
+    doc_fingerprints,
+    lang_id,
+    lang_trigram_profiles,
+    text_quality,
+    token_counts,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+_SQL_TRIGRAMS = """
+tg AS (SELECT doc_id, unnest(CASE WHEN length(lower(text)) >= 3 THEN
+  list_transform(range(1, length(lower(text)) - 1), i -> substr(lower(text), i, 3))
+  ELSE []::VARCHAR[] END) AS tg FROM documents)
+"""
+
+
+@register(
+    "lang_id_ngram",
+    oracle=(
+        f"WITH {_SQL_TRIGRAMS}, "
+        "tgl AS (SELECT tg.doc_id, tg.tg, d.lang FROM tg JOIN documents d USING (doc_id)), "
+        "prof AS (SELECT lang, tg FROM (SELECT lang, tg, COUNT(*) AS c, "
+        "row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tg ASC) AS rn "
+        "FROM tgl GROUP BY lang, tg) WHERE rn <= 20), "
+        "doc_tg AS (SELECT doc_id, tg, COUNT(*) AS c FROM tg GROUP BY doc_id, tg), "
+        "scores AS (SELECT doc_id, lang, SUM(c) AS score FROM doc_tg "
+        "JOIN prof USING (tg) GROUP BY doc_id, lang) "
+        "SELECT doc_id, pred_lang, score FROM (SELECT doc_id, lang AS pred_lang, score, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn "
+        "FROM scores) WHERE rn = 1"
+    ),
+    doc="Character-trigram language ID (Cavnar-Trenkle style): top-20 trigram "
+    "profile per language trained on the corpus, docs classified by profile "
+    "hit count with deterministic argmax.",
+    tags=("lang_id", "text_analysis"),
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    tg = char_trigrams(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    profiles = lang_trigram_profiles(tg)
+    return lang_id(docs, profiles)
+
+
+@register(
+    "text_quality",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents), "
+        "m AS (SELECT doc_id, len(toks) AS n_tokens, "
+        "len(list_distinct(toks)) AS n_types, "
+        "list_sum(list_transform(toks, x -> length(x))) AS char_sum, "
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{s}'" for s in STOPWORDS)
+        + "], x))) AS n_stop FROM t WHERE len(toks) > 0) "
+        "SELECT doc_id, n_tokens, n_types, "
+        "round(CAST(char_sum AS DOUBLE) / n_tokens, 4) AS avg_token_len, "
+        "round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio, "
+        "round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS type_token_ratio, "
+        "round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) "
+        "+ 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) "
+        "+ 0.3 * (CAST(n_types AS DOUBLE) / n_tokens), 4) AS quality_score "
+        "FROM m"
+    ),
+    doc="Per-doc quality scoring from integer counts: token/type counts, "
+    "mean token length, stopword ratio, type-token ratio, weighted score — "
+    "the filter stage of a pretraining-data pipeline.",
+    tags=("quality", "text_analysis"),
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts_by_source",
+    oracle=(
+        "WITH t AS (SELECT source, "
+        "len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS ws, "
+        "len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS bpe "
+        "FROM documents) "
+        "SELECT source, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens, SUM(bpe) AS bpe_tokens, "
+        "round(CAST(SUM(bpe) AS DOUBLE) / COUNT(*), 4) AS bpe_per_doc "
+        "FROM t GROUP BY source"
+    ),
+    doc="Corpus token accounting per source: whitespace + BPE-ish regex "
+    "pre-tokenizer counts as pure array sizes (no explode, no extra shuffle).",
+    tags=("token_count", "text_analysis"),
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tc = token_counts(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return tc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("ws_tokens"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+        F.round(F.sum("bpe_tokens").cast("double") / F.count(F.lit(1)), 4).alias(
+            "bpe_per_doc"
+        ),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=(
+        "WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents), "
+        "pos AS (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS i FROM lowered "
+        "WHERE length(t) >= 8), "
+        "grams AS (SELECT doc_id, i, "
+        "('0x' || substr(md5('fp:' || substr(t, i, 8)), 1, 15))::BIGINT AS h FROM pos), "
+        "wmin AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY i "
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM grams) "
+        "SELECT DISTINCT doc_id, fp FROM wmin"
+    ),
+    doc="Winnowing fingerprints (8-gram hashes, window 4): shared substrings "
+    "of length >= 11 guarantee shared fingerprints — rolling-hash document "
+    "signatures for copy detection at corpus scale.",
+    tags=("fingerprint", "text_analysis"),
+)
+def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(load_table(spark, sf_dir, "documents"))

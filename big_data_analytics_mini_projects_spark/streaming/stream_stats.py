@@ -1,0 +1,102 @@
+"""Structured Streaming flavors of the sampler/stats operators
+(SURVEY.md §2.11).
+
+The reference 'streams' by reading a file once and updating (n, mean, M2) in
+a loop under no-buffering rules (sampler_v02.py:63-87). The engine's
+streaming surface is real Structured Streaming over the events table:
+
+- global (n, mean, σ_pop) as an `update`-mode aggregation — state is one row
+  of sufficient statistics, the Welford triple generalized to batch merges;
+- stateless hash-bucket entity sampling (a pure filter: works on an
+  unbounded stream by construction — the reference's key argument);
+- watermarked tumbling-window counts for event-time aggregation with
+  late-data tolerance (beyond the reference, the standard 100 TB/day shape).
+
+Batch≡stream: every flavor here has a batch twin in plans/samplingq.py and
+the equivalence is asserted in tests/test_streaming.py via availableNow
+triggers (the reference defines stream results as equal to the one-pass
+batch result over the same file — SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import hex_bucket
+from ..session import ensure_runtime_confs
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema pinned from a batch read;
+    ts arrives as long nanos under the nanosAsLong conf and is normalized to
+    ts_us + a timestamp column, as in sources/tables.py)."""
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    else:
+        sdf = sdf.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    return sdf
+
+
+def stream_global_stats(events: DataFrame) -> DataFrame:
+    """Global (n, n_users approx excluded, mean, σ_pop) over the stream —
+    exact decimal sufficient statistics, same expression as the batch twin."""
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(18,4)")).cast("double")
+    mean = s1 / n
+    return events.agg(
+        n.alias("n"),
+        F.round(mean, 4).alias("mean"),
+        F.round(F.sqrt(s2 / n - mean * mean), 4).alias("std"),
+    )
+
+
+def stream_hashbucket_sample(events: DataFrame) -> DataFrame:
+    """Stateless entity-complete sampler: the one-pass streaming sampler
+    (sampler_v02.py:63-87) as a pure pushdown filter."""
+    return events.filter(hex_bucket(F.col("user_id"), 1, "hb") == "0")
+
+
+def stream_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1h window counts + value sums per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming frame to completion over the available data
+    (availableNow trigger -> memory sink) and return the result as a batch
+    DataFrame — the batch≡stream harness."""
+    name = f"bdamp_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
