@@ -39,9 +39,10 @@ def main() -> None:
             df = spec.build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"BENCH {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
         except Exception as e:  # keep benching; a failure shows as missing + stderr note
             failures[name] = f"{type(e).__name__}: {e}"
-            print(f"BENCH FAIL {name}: {failures[name]}", file=sys.stderr)
+            print(f"BENCH FAIL {name}: {failures[name]}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     out = {

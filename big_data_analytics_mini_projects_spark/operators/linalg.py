@@ -18,12 +18,27 @@ def matmul_coo(cells: DataFrame, m_name: str = "M", n_name: str = "N") -> DataFr
 
     Returns (i, j, val) of the product M·N with exact decimal accumulation
     (cell values cast to decimal so the sum is merge-order independent).
+
+    Duplicate (i, j) cells are canonicalized by summation *before* the join
+    (the standard COO reduction). Because multiplication distributes over
+    addition, Σ_pairs m·n = (Σdup m)·(Σdup n) per inner key — identical
+    output, but the join input shrinks from raw-cell cardinality to matrix
+    nnz. At scale this is the difference between joining two pre-aggregated
+    nnz-sized relations and a quadratic blowup per inner-dimension key when
+    sources carry repeated cells (e.g. 600k raw rows folded into an 8x8
+    index space -> ~10^10 join rows without canonicalization).
     """
-    m = cells.filter(F.col("name") == m_name).select(
-        F.col("i").alias("mi"), F.col("j").alias("mj"), F.col("v").cast("decimal(18,4)").alias("mv")
+    m = (
+        cells.filter(F.col("name") == m_name)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(18,4)")).alias("mv"))
+        .select(F.col("i").alias("mi"), F.col("j").alias("mj"), "mv")
     )
-    n = cells.filter(F.col("name") == n_name).select(
-        F.col("i").alias("ni"), F.col("j").alias("nj"), F.col("v").cast("decimal(18,4)").alias("nv")
+    n = (
+        cells.filter(F.col("name") == n_name)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(18,4)")).alias("nv"))
+        .select(F.col("i").alias("ni"), F.col("j").alias("nj"), "nv")
     )
     return (
         m.join(n, m.mj == n.ni)

@@ -76,7 +76,12 @@ def minhash_jaccard(
     """Pairwise Jaccard estimates: fraction of agreeing signature rows
     (E[agreement] = J, exactly 0 when J = 0 — Part_2.pdf p3-4).
     Emits (key_a, key_b, n_sig, est) for key_a < key_b pairs that share at
-    least one signature row slot; est counts agreements / num_hashes."""
+    least one signature row slot; est counts agreements / num_hashes.
+
+    ``sigs`` feeds both sides of the self-join; persisting it computes the
+    signature pipeline once instead of once per branch (the aliases differ,
+    so Catalyst's ReuseExchange cannot dedupe them by itself)."""
+    sigs = sigs.persist()
     a = sigs.select(F.col(key).alias("ka"), "seed", F.col("mh").alias("mha"))
     b = sigs.select(F.col(key).alias("kb"), "seed", F.col("mh").alias("mhb"))
     return (
@@ -105,7 +110,11 @@ def lsh_bands(
 
 
 def lsh_candidates(bands: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Distinct candidate pairs sharing >=1 band (ka < kb)."""
+    """Distinct candidate pairs sharing >=1 band (ka < kb).
+
+    Persists ``bands`` (keys × b rows, tiny next to the corpus) so the
+    signature+banding pipeline runs once, not once per self-join side."""
+    bands = bands.persist()
     a = bands.select(F.col(key).alias("ka"), "band", "band_sig")
     b = bands.select(F.col(key).alias("kb"), "band", "band_sig")
     return (
@@ -172,7 +181,12 @@ def simhash_values(
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 8, key: str = "doc_id") -> DataFrame:
     """Candidate pairs sharing any 15-bit block, verified by Hamming distance
-    bit_count(xor) <= max_hamming. Returns (ka, kb, hamming)."""
+    bit_count(xor) <= max_hamming. Returns (ka, kb, hamming).
+
+    ``sim`` (one row per key) is referenced six times below (4 block slices +
+    both verification sides) — persisted so the fingerprint pipeline runs
+    once."""
+    sim = sim.persist()
     blocks = None
     for blk in range(4):
         part = sim.select(
@@ -220,7 +234,11 @@ def ngram_jaccard_pairs(
     ``df_cap`` drops shingles appearing in more than df_cap docs before the
     inverted-index join — the hot-shingle skew guard; at 100 TB this cap is
     what keeps bucket joins from going quadratic on boilerplate text.
-    Returns (ka, kb, n_common, jaccard)."""
+    Returns (ka, kb, n_common, jaccard).
+
+    ``shingles`` is read by the df counter, both join sides, and the size
+    table — persisted so shingling runs once."""
+    shingles = shingles.persist()
     freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     keep = shingles.join(
         F.broadcast(freq.filter(F.col("df") <= df_cap).select("shingle")), "shingle"

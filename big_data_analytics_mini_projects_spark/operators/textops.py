@@ -119,26 +119,37 @@ def doc_fingerprints(
     length >= k + window - 1 yields a shared fingerprint — the matching
     property plagiarism/near-dup detectors rely on.
 
-    Returns distinct (key, fp) rows. The windowed min runs per-doc
-    (partitioned window, no global sort)."""
-    grams = docs.select(
-        key,
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN length(lower({text_col})) >= {k} THEN "
-                f"transform(sequence(1, length(lower({text_col})) - {k - 1}), "
-                f"i -> substring(lower({text_col}), i, {k})) "
-                f"ELSE cast(array() as array<string>) END"
-            )
-        ).alias("pos", "gram"),
-    ).select(
-        key,
-        "pos",
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("fp:"), F.col("gram"))), 1, 15), 16, 10
-        ).cast("long").alias("h"),
+    Returns distinct (key, fp) rows. The whole computation is per-row array
+    transforms — gram expansion, hashing, sliding-window min, and dedupe all
+    happen inside one codegen stage with ZERO shuffle (the within-doc
+    ``array_distinct`` subsumes a row-level distinct because ``key`` is
+    constant per row). The alternative — posexplode grams + a partitioned
+    window min — shuffles one row per character of the corpus, which at
+    100 TB is a corpus-sized exchange for no semantic gain.
+
+    Expression-engineering note: the lowered text and the hash array are each
+    bound ONCE per row via the `transform(array(x), v -> body)[0]` let-binding
+    idiom. Without it, CollapseProject inlines the hash-array expression into
+    the winnowing transform's lambda body, re-evaluating the md5-of-every-gram
+    array for EVERY window index — O(n²) hashing per document (measured 50×
+    slower). slice() clamps at the tail, matching a CURRENT ROW .. N FOLLOWING
+    frame."""
+    grams_t = (
+        f"CASE WHEN length(t) >= {k} THEN "
+        f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k})) "
+        f"ELSE cast(array() as array<string>) END"
     )
-    w = Window.partitionBy(key).orderBy("pos").rowsBetween(0, window - 1)
-    return (
-        grams.withColumn("fp", F.min("h").over(w)).select(key, "fp").distinct()
+    hs_t = (
+        f"transform({grams_t}, g -> "
+        "cast(conv(substring(md5(concat('fp:', g)), 1, 15), 16, 10) as bigint))"
     )
+    winnow_hs = (
+        "CASE WHEN size(hs) = 0 THEN cast(array() as array<bigint>) "
+        f"ELSE array_distinct(transform(sequence(1, size(hs)), "
+        f"i -> array_min(slice(hs, i, {window})))) END"
+    )
+    fp_expr = (
+        f"transform(array(lower({text_col})), t -> "
+        f"transform(array({hs_t}), hs -> {winnow_hs})[0])[0]"
+    )
+    return docs.select(key, F.explode(F.expr(fp_expr)).alias("fp"))

@@ -18,3 +18,4 @@ from . import similarityq  # noqa: F401  (minhash / LSH / dedup suite)
 from . import vectorq  # noqa: F401  (embedding ANN / cosine dedup)
 from . import textanalysisq  # noqa: F401  (lang-id / quality / tokens / fingerprints)
 from . import multimodalq  # noqa: F401  (multimodal decode plumbing + streaming)
+from . import sourcesq  # noqa: F401  (CSV / JSON-lines ingestion round trips, sorted sink)

@@ -43,8 +43,10 @@ def matmul_coo_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "matmul_lineitem",
     oracle=(
         f"WITH cells AS ({_SQL_CELLS}), "
-        "m AS (SELECT i, j, CAST(v AS DECIMAL(18,4)) AS v FROM cells WHERE name = 'M'), "
-        "n AS (SELECT i, j, CAST(v AS DECIMAL(18,4)) AS v FROM cells WHERE name = 'N') "
+        "m AS (SELECT i, j, SUM(CAST(v AS DECIMAL(18,4))) AS v FROM cells "
+        "WHERE name = 'M' GROUP BY i, j), "
+        "n AS (SELECT i, j, SUM(CAST(v AS DECIMAL(18,4))) AS v FROM cells "
+        "WHERE name = 'N' GROUP BY i, j) "
         "SELECT m.i AS i, n.j AS j, CAST(SUM(m.v * n.v) AS DOUBLE) AS val "
         "FROM m JOIN n ON m.j = n.i GROUP BY m.i, n.j"
     ),

@@ -50,7 +50,10 @@ simsf AS (SELECT item_a, item_b, nc, sim FROM sims
 
 
 def _filtered_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cf_filter_ratings(ratings_deduped(spark, sf_dir))
+    # The dedupe + two-stage support filter is 3 shuffles over the full
+    # ratings derivation; downstream it feeds the similarity self-join (3
+    # refs) and prediction (2 more). Persist -> computed once per query.
+    return cf_filter_ratings(ratings_deduped(spark, sf_dir)).persist()
 
 
 @register(

@@ -38,10 +38,41 @@ sigs AS (SELECT doc_id, seed, MIN({_SQL_H64}) AS mh
          FROM toks CROSS JOIN seeds GROUP BY doc_id, seed)
 """
 
+#: Shingle-based signature CTE: minhash over word trigrams. Unigram token
+#: sets degenerate on small vocabularies (the 31-word synthetic corpus makes
+#: nearly every doc pair Jaccard~1 -> LSH emits all O(n²) pairs); trigram
+#: shingles are the standard discriminative set representation for near-dup
+#: detection, and what a 100 TB text dedup job actually hashes.
+_SQL_H64_SH = (
+    "('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT"
+)
+
+_SQL_SH_SIGS = f"""
+tarr AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents),
+shx AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE []::VARCHAR[] END) AS shingle FROM tarr)),
+seeds AS (SELECT unnest(range({NUM_HASHES})) AS seed),
+sigs AS (SELECT doc_id, seed, MIN({_SQL_H64_SH}) AS mh
+         FROM shx CROSS JOIN seeds GROUP BY doc_id, seed)
+"""
+
 
 def _ws_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tokenize_ws(docs).select("doc_id", "word")
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) word trigrams — the discriminative set representation
+    for the LSH/dedup queries (see _SQL_SH_SIGS note)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+    )
+    return ngram_shingles(docs, n=3)
 
 
 @register(
@@ -104,25 +135,27 @@ bands AS (SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
 @register(
     "lsh_candidates",
     oracle=(
-        f"WITH {_SQL_SIGS}, {_SQL_BANDS} "
+        f"WITH {_SQL_SH_SIGS}, {_SQL_BANDS} "
         "SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb "
         "FROM bands a JOIN bands b USING (band, band_sig) "
         "WHERE a.doc_id < b.doc_id"
     ),
     doc="LSH banding -> candidate pairs (lsh_band, Part_2.pdf p5-6): 32-row "
-    "signatures split into 8 bands x 4 rows; pairs agreeing on any whole "
-    "band become candidates (capture prob 1-(1-s^4)^8).",
+    "trigram-shingle signatures split into 8 bands x 4 rows; pairs agreeing "
+    "on any whole band become candidates (capture prob 1-(1-s^4)^8).",
     tags=("lsh_band",),
 )
 def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(_ws_tokens(spark, sf_dir), num_hashes=NUM_HASHES)
+    sigs = minhash_signatures(
+        _shingles(spark, sf_dir), token_col="shingle", num_hashes=NUM_HASHES
+    )
     return lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND))
 
 
 @register(
     "dedup_minhash_lsh",
     oracle=(
-        f"WITH {_SQL_SIGS}, {_SQL_BANDS}, "
+        f"WITH {_SQL_SH_SIGS}, {_SQL_BANDS}, "
         "cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb "
         "FROM bands a JOIN bands b USING (band, band_sig) WHERE a.doc_id < b.doc_id) "
         "SELECT ka, kb, "
@@ -138,7 +171,11 @@ def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lsh_band", "minhash_sig", "dedup"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(_ws_tokens(spark, sf_dir), num_hashes=NUM_HASHES)
+    # sigs feeds banding AND both verification sides: persist -> the
+    # shingle->hash->min pipeline over the corpus runs exactly once.
+    sigs = minhash_signatures(
+        _shingles(spark, sf_dir), token_col="shingle", num_hashes=NUM_HASHES
+    ).persist()
     cand = lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND))
     sa = sigs.select(F.col("doc_id").alias("ka"), "seed", F.col("mh").alias("mha"))
     sb = sigs.select(F.col("doc_id").alias("kb"), "seed", F.col("mh").alias("mhb"))
@@ -173,8 +210,13 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SIMHASH = f"""
 bits(pos, p2) AS (VALUES {', '.join(f'({p}, {v})' for p, v in BIT_POWERS)}),
-stoks AS (SELECT DISTINCT doc_id, word FROM ({sql_tokens_ws()})),
-th AS (SELECT doc_id, ('0x' || substr(md5('sh:' || word), 1, 15))::BIGINT AS h FROM stoks),
+tarr AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents),
+shx AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE []::VARCHAR[] END) AS shingle FROM tarr)),
+th AS (SELECT doc_id, ('0x' || substr(md5('sh:' || shingle), 1, 15))::BIGINT AS h FROM shx),
 contrib AS (SELECT doc_id, pos, p2, SUM(((h // p2) % 2) * 2 - 1) AS c
             FROM th CROSS JOIN bits GROUP BY doc_id, pos, p2),
 bitv AS (SELECT doc_id, pos, p2, CASE WHEN c > 0 THEN 1 ELSE 0 END AS bit FROM contrib),
@@ -201,13 +243,14 @@ cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
         "FROM cand JOIN sim ha ON ka = ha.doc_id JOIN sim hb ON kb = hb.doc_id "
         "WHERE bit_count(xor(ha.simhash, hb.simhash)) <= 8"
     ),
-    doc="SimHash near-dup detection: 60-bit Charikar fingerprint per doc, "
-    "4x15-bit block candidate blocking, Hamming<=8 verification via "
-    "bit_count(xor) — the constant-space complement to MinHash dedup.",
+    doc="SimHash near-dup detection: 60-bit Charikar fingerprint per doc over "
+    "trigram shingles, 4x15-bit block candidate blocking, Hamming<=8 "
+    "verification via bit_count(xor) — the constant-space complement to "
+    "MinHash dedup.",
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sim = simhash_values(_ws_tokens(spark, sf_dir), spark)
+    sim = simhash_values(_shingles(spark, sf_dir), spark, token_col="shingle")
     return simhash_near_pairs(sim, max_hamming=8)
 
 
