@@ -209,6 +209,65 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 8, key: str = "doc_id"
     )
 
 
+def connected_components(
+    pairs: DataFrame, key_a: str = "ka", key_b: str = "kb", max_iters: int = 15
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node repeatedly takes the minimum label
+    among itself and its neighbors until a fixpoint. Converges in at most
+    graph-diameter iterations — near-dup clusters are shallow (stars/cliques),
+    so 2-4 rounds in practice; ``max_iters`` is a safety bound.
+
+    Returns (node, label) where label = min node id of the component — the
+    canonical "keeper" a dedup pipeline retains.
+
+    Scale design:
+    - each round is ONE shuffle (join on dst + min-aggregate on src);
+    - ``localCheckpoint(eager=True)`` truncates lineage every round —
+      without it the plan doubles per iteration and the job dies on
+      planning long before data size matters;
+    - convergence is detected via Σlabels (labels only decrease, so the sum
+      strictly decreases until fixpoint) — one cheap agg instead of a
+      change-count join;
+    - for graphs with giant components / large diameters, swap the loop body
+      for alternating large-star/small-star (Kiveris et al. 2014) — same
+      per-round join shape, O(log²) rounds.
+    """
+    fwd = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+    edges = (
+        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min.select(F.col("src").alias("node"), "nbr_label"), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = labels.agg(F.sum("label")).collect()[0][0]
+        if total == prev:
+            break
+        prev = total
+    edges.unpersist()
+    return labels
+
+
 def ngram_shingles(
     docs: DataFrame, n: int = 3, key: str = "doc_id", tokens_col: str = "toks"
 ) -> DataFrame:

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.similarity import (
     BIT_POWERS,
+    connected_components,
     dedup_exact,
     lsh_bands,
     lsh_candidates,
@@ -152,34 +153,31 @@ def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND))
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=(
-        f"WITH {_SQL_SH_SIGS}, {_SQL_BANDS}, "
-        "cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb "
-        "FROM bands a JOIN bands b USING (band, band_sig) WHERE a.doc_id < b.doc_id) "
-        "SELECT ka, kb, "
-        f"SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(NUM_HASHES)} AS est "
-        "FROM cand JOIN sigs sa ON ka = sa.doc_id JOIN sigs sb "
-        "ON kb = sb.doc_id AND sa.seed = sb.seed "
-        "GROUP BY ka, kb "
-        f"HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(NUM_HASHES)} >= 0.5"
-    ),
-    doc="Full near-dup pipeline: shingle->minhash->band->bucket-join->verify "
-    "(candidates re-scored by signature agreement, kept at est>=0.5) — the "
-    "shape a 100 TB dedup job runs; only candidate pairs are ever scored.",
-    tags=("lsh_band", "minhash_sig", "dedup"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sigs feeds banding AND both verification sides: persist -> the
-    # shingle->hash->min pipeline over the corpus runs exactly once.
+#: Scored candidate pairs (the LSH verify stage), shared by the dedup and
+#: clustering oracles: candidates from band agreement, re-scored by signature
+#: agreement, kept at est >= 0.5.
+_SQL_SCORED = f"""
+cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+         FROM bands a JOIN bands b USING (band, band_sig) WHERE a.doc_id < b.doc_id),
+scored AS (SELECT ka, kb,
+           SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(NUM_HASHES)} AS est
+           FROM cand JOIN sigs sa ON ka = sa.doc_id
+           JOIN sigs sb ON kb = sb.doc_id AND sa.seed = sb.seed
+           GROUP BY ka, kb
+           HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                  / {float(NUM_HASHES)} >= 0.5)
+"""
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_SCORED: (ka, kb, est) near-dup pairs."""
     sigs = minhash_signatures(
         _shingles(spark, sf_dir), token_col="shingle", num_hashes=NUM_HASHES
     ).persist()
     cand = lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND))
     sa = sigs.select(F.col("doc_id").alias("ka"), "seed", F.col("mh").alias("mha"))
     sb = sigs.select(F.col("doc_id").alias("kb"), "seed", F.col("mh").alias("mhb"))
-    est = (
+    return (
         cand.join(sa, "ka")
         .join(sb, ["kb", "seed"])
         .groupBy("ka", "kb")
@@ -191,7 +189,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("est") >= 0.5)
     )
-    return est
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=(
+        f"WITH {_SQL_SH_SIGS}, {_SQL_BANDS}, {_SQL_SCORED} "
+        "SELECT ka, kb, est FROM scored"
+    ),
+    doc="Full near-dup pipeline: shingle->minhash->band->bucket-join->verify "
+    "(candidates re-scored by signature agreement, kept at est>=0.5) — the "
+    "shape a 100 TB dedup job runs; only candidate pairs are ever scored.",
+    tags=("lsh_band", "minhash_sig", "dedup"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scored_pairs(spark, sf_dir)
+
+
+@register(
+    "dedup_clusters",
+    oracle=(
+        f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_BANDS}, {_SQL_SCORED}, "
+        "edges AS (SELECT ka AS a, kb AS b FROM scored "
+        "UNION SELECT kb, ka FROM scored), "
+        "nodes AS (SELECT DISTINCT a AS n FROM edges), "
+        "reach(n, m) AS (SELECT n, n FROM nodes UNION "
+        "SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a) "
+        "SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n"
+    ),
+    doc="Duplicate-cluster resolution: connected components over the scored "
+    "near-dup pairs by iterative min-label propagation (one shuffle per "
+    "round, lineage truncated per round); cluster = min doc_id = the keeper "
+    "a dedup pipeline retains. Oracle: transitive closure via recursive CTE.",
+    tags=("dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _scored_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
 @register(

@@ -98,3 +98,29 @@ def test_ngram_jaccard_planted(spark):
     out = {(r["ka"], r["kb"]): r["jaccard"] for r in ngram_jaccard_pairs(sh, 0.2).collect()}
     assert (1, 2) in out and out[(1, 2)] == pytest.approx(6 / 8, abs=1e-9)
     assert (1, 3) not in out
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains + an isolate-free triangle resolve to min-id labels in
+    <= diameter rounds: {1-2-3-4} -> 1, {10-11} -> 10, {20-21-22} -> 20."""
+    from big_data_analytics_mini_projects_spark.operators.similarity import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "ka long, kb long",
+    )
+    got = {
+        r["node"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty(spark):
+    from big_data_analytics_mini_projects_spark.operators.similarity import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([], "ka long, kb long")
+    assert connected_components(pairs).count() == 0
