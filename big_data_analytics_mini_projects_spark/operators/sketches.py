@@ -1,0 +1,202 @@
+"""Deterministic approximate sketches: HLL-style distinct counting and a
+Count-Min frequency sketch — the "streaming algorithms" surface generalized
+beyond the reference's hash sampler (README.md:10 claims streaming algorithms;
+the only realized instance is sampler_v02.py's one-pass sampler, SURVEY.md
+§2.4 note). Both sketches are single-pass, fixed-memory, mergeable — the
+properties that matter at 100 TB — and both are engineered to be bit-identical
+across engines so they sit inside the hash-compared oracle gate:
+
+- the hash is the cross-engine 60-bit md5 (functions/hashing.py pattern);
+- HLL's harmonic sum Σ 2^-M is kept EXACT by scaling to 2^(RHO_CAP - M)
+  integers (no float-accumulation order dependence);
+- Count-Min is pure integer min-of-counts.
+
+Spark's production equivalents are `approx_count_distinct` (HLL++) and
+count-min via DataSketches; these hand-rolled versions exist because their
+estimates are reproducible in ANSI SQL, which the built-ins' binary sketch
+states are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Trailing-zero cap = usable hash bits above the bucket index (60-bit hash).
+RHO_CAP = 50
+
+
+def _h64(col: Column, prefix: str) -> Column:
+    """60-bit md5 hash: int(md5('{prefix}:{v}')[:15], 16) — cross-engine."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix + ":"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def sql_h64(expr: str, prefix: str) -> str:
+    """DuckDB twin of :func:`_h64`."""
+    return f"('0x' || substr(md5('{prefix}:' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m >= 128 buckets."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None, p: int = 9
+) -> DataFrame:
+    """HyperLogLog-shaped distinct-count estimate (Flajolet et al. 2007).
+
+    bucket = h % 2^p; rho = 1 + trailing zeros of (h div 2^p) (capped at
+    RHO_CAP); per-bucket register M = max(rho). The harmonic mean is computed
+    over scaled integers: each register contributes 2^(RHO_CAP - M) and each
+    of the (m - observed) empty buckets contributes 2^RHO_CAP, so the sum is
+    an exact BIGINT — no float merge-order nondeterminism. Estimate =
+    alpha * m^2 * 2^RHO_CAP / sum.
+
+    Returns group_cols + (n_est,). Applies the standard linear-counting
+    small-range correction (raw <= 2.5m and empty registers exist ->
+    m*ln(m/V)): without it the raw estimator reports ~0.73m regardless of n
+    when n << m. ln() is the one operation trusted to libm on both engines;
+    rounding to 2 decimals absorbs last-ulp differences.
+
+    Single pass, 2^p registers per group, mergeable by max — the shape that
+    replaces COUNT(DISTINCT) when the key set itself does not fit anywhere.
+    Trailing zeros via bin()+rtrim (both engines): tz = len(bin) - len(rtrim
+    (bin,'0')); h div 2^p = 0 is capped explicitly.
+    """
+    m = 1 << p
+    g = list(group_cols or [])
+    h = _h64(F.col(value_col), "hll")
+    rest = F.expr(f"h div {m}")
+    bin_rest = F.bin(rest)
+    # trailing zeros of the binary string; rest = 0 handled by the cap branch
+    tz = F.length(bin_rest) - F.length(F.regexp_replace(bin_rest, "0+$", ""))
+    rho = F.when(rest == 0, F.lit(RHO_CAP)).otherwise(
+        F.least(tz + 1, F.lit(RHO_CAP))
+    )
+    regs = (
+        df.select(*g, h.alias("h"))
+        .select(*g, F.expr(f"h % {m}").alias("bucket"), rho.alias("rho"))
+        .groupBy(*g, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    scaled = F.expr(f"cast(pow(2, {RHO_CAP} - M) as bigint)")
+    per_group = regs.groupBy(*g).agg(
+        F.sum(scaled).alias("s_obs"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    total = F.col("s_obs") + (F.lit(m) - F.col("n_buckets")) * F.lit(1 << RHO_CAP)
+    raw = F.lit(hll_alpha(m) * m * m * float(1 << RHO_CAP)) / total.cast("double")
+    zeros = F.lit(m) - F.col("n_buckets")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+    return per_group.select(*g, F.round(est, 2).alias("n_est"))
+
+
+def sql_hll_distinct(
+    source_sql: str, value_expr: str, group_exprs: list[str] | None = None, p: int = 9
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same scaled-integer arithmetic)."""
+    m = 1 << p
+    g = list(group_exprs or [])
+    gsel = (", ".join(g) + ", ") if g else ""
+    gby = ("GROUP BY " + ", ".join(g)) if g else ""
+    gby_regs = "GROUP BY " + ", ".join(g + ["bucket"])
+    h = sql_h64(value_expr, "hll")
+    return f"""
+WITH hashed AS (SELECT {gsel}{h} AS h FROM ({source_sql})),
+rhoed AS (SELECT {gsel}h % {m} AS bucket,
+  CASE WHEN h // {m} = 0 THEN {RHO_CAP}
+       ELSE least(length(bin(h // {m}))
+                  - length(rtrim(bin(h // {m}), '0')) + 1, {RHO_CAP}) END AS rho
+  FROM hashed),
+regs AS (SELECT {gsel}bucket, MAX(rho) AS M FROM rhoed {gby_regs}),
+agged AS (SELECT {gsel}SUM(CAST(pow(2, {RHO_CAP} - M) AS BIGINT)) AS s_obs,
+          COUNT(*) AS n_buckets FROM regs {gby}),
+ested AS (SELECT {gsel}
+  CAST({hll_alpha(m) * m * m * float(1 << RHO_CAP)!r} AS DOUBLE)
+    / CAST(s_obs + ({m} - n_buckets) * {1 << RHO_CAP} AS DOUBLE) AS raw,
+  {m} - n_buckets AS zeros FROM agged)
+SELECT {gsel}round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+        THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / zeros)
+        ELSE raw END, 2) AS n_est
+FROM ested
+"""
+
+
+def cm_sketch_counts(
+    items: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch state: (seed, bucket, c) — depth hash rows x width
+    buckets of exact counts over the item stream (Cormode & Muthukrishnan
+    2005). One groupBy over (seed, bucket): fixed d*w memory per partition
+    with map-side partials, mergeable by +."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
+    return (
+        items.select(F.col(item_col).alias("item"))
+        .select("item", seeds)
+        .select(
+            "seed",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cm"),
+                                F.col("seed").cast("string"),
+                                F.lit(":"),
+                                F.col("item").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, candidates: DataFrame, item_col: str = "item",
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each candidate item: est = min over the
+    depth rows of the candidate's bucket count (upper-bounds the true count,
+    over-counting only from collisions). Returns candidates + (cm_est,)."""
+    keyed = candidates.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm"),
+                        F.col("seed").cast("string"),
+                        F.lit(":"),
+                        F.col(item_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    others = [c for c in candidates.columns]
+    return (
+        keyed.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy(*others)
+        .agg(F.min("c").alias("cm_est"))
+    )

@@ -19,3 +19,4 @@ from . import vectorq  # noqa: F401  (embedding ANN / cosine dedup)
 from . import textanalysisq  # noqa: F401  (lang-id / quality / tokens / fingerprints)
 from . import multimodalq  # noqa: F401  (multimodal decode plumbing + streaming)
 from . import sourcesq  # noqa: F401  (CSV / JSON-lines ingestion round trips, sorted sink)
+from . import sketchq  # noqa: F401  (HLL distinct / Count-Min heavy hitters)
