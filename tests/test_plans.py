@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around, pinned so regressions surface as test failures, not as 100x slowdowns
+on a real cluster.
+
+Each test renders `explain(mode='formatted'/'simple')` output and asserts the
+plan shape — the same checks a reviewer does by eye with .explain():
+- small dimensions broadcast (no shuffle of the fact table for the join);
+- filters and column pruning reach the parquet scan (PushedFilters/ReadSchema);
+- global top-k compiles to TakeOrderedAndProject (per-partition heaps), not a
+  total sort;
+- per-row operators (fingerprints, token counts) introduce NO exchange;
+- aggregations run partial (map-side combine) before the exchange.
+"""
+
+from __future__ import annotations
+
+from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name].build(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "broadcast_join_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the orders fact table must not be exchanged for the join itself:
+    # the only shuffle allowed is the final group-by aggregate
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan must read only the 7 used
+    schema_line = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_comment" not in schema_line and "l_partkey" not in schema_line
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3_top_orders", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fingerprints_have_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_fingerprints", mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_token_counts_single_shuffle(spark, sf_dir):
+    # per-doc token math is per-row; only the by-source aggregate shuffles
+    plan = _plan(spark, sf_dir, "token_counts_by_source", mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 2  # join key + group key
+
+
+def test_wordcount_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wordcount_topk")
+    # partial -> exchange -> final: map-side combine (the reference's
+    # hand-written combiner, MRSystemSimulator2020.py:75-93, for free)
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_semi_and_anti_joins_compile_to_join_nodes(spark, sf_dir):
+    semi = _plan(spark, sf_dir, "semi_join_orders", mode="simple")
+    anti = _plan(spark, sf_dir, "anti_join_customers", mode="simple")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_whole_stage_codegen_everywhere(spark, sf_dir):
+    # the hot relational paths must be inside codegen stages (no interpreted
+    # row-at-a-time operators in the main pipeline). AQE finalizes stages at
+    # execution, so run the query first and inspect the executed plan.
+    for name in ("tpch_q1_pricing_summary", "broadcast_join_revenue"):
+        df = QUERIES[name].build(spark, sf_dir)
+        df.collect()
+        plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+        # '*(n) Operator' is the WholeStageCodegen stage marker in the
+        # executed-plan rendering
+        assert "*(1)" in plan, name
