@@ -92,3 +92,27 @@ def streaming_welford_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream_hourly_counts(events_stream(spark, sf_dir)))
+
+
+@register(
+    "streaming_user_stats",
+    oracle=(
+        "SELECT user_id, COUNT(*) AS n, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents, "
+        "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 "
+        "/ COUNT(*) AS mean "
+        "FROM events GROUP BY user_id"
+    ),
+    doc="Arbitrary-stateful streaming operator (applyInPandasWithState): "
+    "per-user running (n, total_cents, mean) maintained in two-long state "
+    "across micro-batches, emitted in update mode; integer-cents state makes "
+    "the result batch-order independent and oracle-exact.",
+    tags=("streaming", "stateful"),
+    bench=False,
+)
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_stats import stream_user_stats
+
+    return run_available_now(
+        stream_user_stats(events_stream(spark, sf_dir)), output_mode="update"
+    )

@@ -86,6 +86,52 @@ def stream_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def stream_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful per-key streaming operator via applyInPandasWithState:
+    per user_id, maintain (n, total_cents) across micro-batches and emit the
+    updated running stats on every batch — the arbitrary-stateful-operator
+    shape (session counters, per-entity accumulators) that windowed aggs
+    can't express.
+
+    Determinism engineering: state is INTEGER cents (floor(value*100 + 0.5),
+    same expression as the batch/oracle twins), so accumulation order across
+    batches cannot perturb the result; the mean is one double division at
+    emission. State per key is two longs — at 100 TB the state store scales
+    with distinct users, not events, and RocksDB-backed state + changelog
+    checkpointing is a config, not a code change.
+    """
+    import pandas as pd  # local: Arrow path only materializes on executors
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+
+        if state.exists:
+            n, cents = state.get
+        else:
+            n, cents = 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "total_cents": [cents],
+                "mean": [cents / 100.0 / n],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n long, total_cents long, mean double",
+        "n long, cents long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming frame to completion over the available data
     (availableNow trigger -> memory sink) and return the result as a batch

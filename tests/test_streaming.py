@@ -66,3 +66,54 @@ def test_stream_hourly_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_user_stats_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState must carry per-user state ACROSS micro-batches:
+    split events into 3 files, stream with maxFilesPerTrigger=1 (3 batches),
+    and check each user's final emission equals the batch aggregate."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_mini_projects_spark.streaming.stream_stats import (
+        stream_user_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_split")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"mb_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_user_stats(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(name)
+    assert emissions.count() > ev.select("user_id").distinct().count(), (
+        "expected multiple emissions per user across micro-batches"
+    )
+    # final emission per user = the one with max n (state accumulates)
+    final = (
+        emissions.groupBy("user_id")
+        .agg(F.max(F.struct("n", "total_cents", "mean")).alias("s"))
+        .select("user_id", "s.n", "s.total_cents", "s.mean")
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("total_cents"),
+    )
+    got = {r["user_id"]: (r["n"], r["total_cents"]) for r in final.collect()}
+    exp = {r["user_id"]: (r["n"], r["total_cents"]) for r in want.collect()}
+    assert got == exp
