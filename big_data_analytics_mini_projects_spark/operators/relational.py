@@ -38,6 +38,37 @@ def join_semi(r: DataFrame, keys: DataFrame, on) -> DataFrame:
     return r.join(keys, on, "left_semi")
 
 
+def join_salted(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_source: Column,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: identical semantics to ``big.join(small,
+    key)``, but hot keys are spread over ``n_salt`` shuffle partitions.
+
+    The big side gets a deterministic salt derived from ``salt_source`` (any
+    per-row column NOT correlated with the key — an id, a timestamp); the
+    small side is replicated n_salt times. The join key becomes (key, salt),
+    so a key holding 40% of the rows lands on n_salt reducers instead of one.
+    Cost: small side grows n_salt x (it must still be the *small* side).
+
+    When to reach for this over AQE's skew-join splitting: AQE splits skewed
+    partitions of a sort-merge join but cannot split a skewed *aggregation*
+    or a broadcast-ineligible key with billions of identical values; salting
+    handles both and is deterministic at plan time. Semantics-preserving for
+    inner/left joins on the big side (every big row keeps exactly the
+    matching small rows for its (key, salt)).
+    """
+    salted_big = big.withColumn("_salt", F.pmod(F.hash(salt_source), F.lit(n_salt)))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")
+
+
 def topk(df: DataFrame, order_cols: Sequence[Column], k: int) -> DataFrame:
     """Top-k without a global sort (a3_p1.py:31,101-102 ``takeOrdered``).
 

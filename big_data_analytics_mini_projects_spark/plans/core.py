@@ -10,6 +10,7 @@ from ..operators.aggregates import dsum, sql_dsum
 from ..operators.relational import (
     join_anti,
     join_broadcast,
+    join_salted,
     join_semi,
     last_per_key,
     topk,
@@ -267,6 +268,43 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_mktsegment"],
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
         3,
+    )
+
+
+@register(
+    "salted_join_skewed",
+    oracle=(
+        "WITH big AS (SELECT CASE WHEN user_id % 10 < 8 THEN 0 "
+        "ELSE user_id % 97 END AS skew_key, value FROM events), "
+        "dim AS (SELECT k AS skew_key, 'g' || CAST(k % 7 AS VARCHAR) AS grp "
+        "FROM (SELECT unnest(range(97)) AS k)) "
+        "SELECT grp, COUNT(*) AS n, "
+        f"{sql_dsum('value', 4)} AS total_value "
+        "FROM big JOIN dim USING (skew_key) GROUP BY grp"
+    ),
+    doc="Skew-mitigated join (salting): 80% of event rows share one join key; "
+    "the salted join spreads that key over 8 shuffle partitions by salting "
+    "the big side and replicating the dim 8x — byte-identical results to the "
+    "plain join (the oracle), different physical distribution. The manual "
+    "complement to AQE skew-join splitting for keys it cannot split.",
+    tags=("join_salted", "skew", "join_broadcast"),
+)
+def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    big = ev.select(
+        F.when(F.col("user_id") % 10 < 8, F.lit(0))
+        .otherwise(F.col("user_id") % 97)
+        .alias("skew_key"),
+        "event_id",
+        "value",
+    )
+    dim = spark.range(97).select(
+        F.col("id").alias("skew_key"),
+        F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias("grp"),
+    )
+    joined = join_salted(big, dim, "skew_key", F.col("event_id"), n_salt=8)
+    return joined.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", 4).alias("total_value")
     )
 
 
