@@ -38,6 +38,65 @@ def join_semi(r: DataFrame, keys: DataFrame, on) -> DataFrame:
     return r.join(keys, on, "left_semi")
 
 
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: for every left row, attach the payload of the most recent
+    right row with ``right_ts <= left_ts`` for the same key (inner semantics:
+    left rows with no prior right row are dropped).
+
+    Spark has no native as-of join; the naive formulation — an inequality
+    join + per-left-row max — explodes to O(|L|·|R|) pairs per key. This
+    implementation is the scalable merge: union both sides tagged with a
+    side marker, ONE window over (key, ts, side) carrying the last non-null
+    payload forward (`last(..., ignorenulls=True)`), then keep the left rows.
+    Cost: one shuffle of |L|+|R| rows — the same exchange a plain join would
+    need — regardless of key skew or time density.
+
+    Right rows must be unique per (key, right_ts); pre-dedupe with
+    ``last_per_key`` otherwise (ties would make the result depend on row
+    order). At equal timestamps the right row sorts first (side 0 < 1), so a
+    right row AT the left timestamp is visible — matching DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts`` semantics, which the oracle uses.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).cast("long").alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_p_{c}") for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).cast("long").alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionAll(r_tagged).select(
+        "_side",
+        *lcols,
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(c)
+            for c in payload_cols
+        ],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    # inner semantics: require a matched payload (all-null -> no prior row)
+    return out.filter(F.col(payload_cols[0]).isNotNull())
+
+
 def join_salted(
     big: DataFrame,
     small: DataFrame,

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..operators.aggregates import dsum, sql_dsum
 from ..operators.relational import (
     join_anti,
+    join_asof,
     join_broadcast,
     join_salted,
     join_semi,
@@ -268,6 +269,51 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_mktsegment"],
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
         3,
+    )
+
+
+@register(
+    "asof_join_error_attribution",
+    oracle=(
+        "WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+        "FROM events WHERE event_type = 'error'), "
+        "r0 AS (SELECT user_id, epoch_us(ts) AS click_ts, event_id AS click_id, "
+        "row_number() OVER (PARTITION BY user_id, epoch_us(ts) "
+        "ORDER BY event_id DESC) AS rn FROM events WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, click_ts, click_id FROM r0 WHERE rn = 1) "
+        "SELECT l.event_id, l.user_id, l.ts_us, r.click_id, r.click_ts, "
+        "l.ts_us - r.click_ts AS gap_us "
+        "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.click_ts"
+    ),
+    doc="As-of join (operator Spark lacks, implemented as the union + "
+    "last-non-null-window merge — ONE shuffle, no inequality-join blowup): "
+    "each error event attributed to the user's most recent click at or "
+    "before it. Oracle: DuckDB's native ASOF JOIN — an independent "
+    "implementation of the same semantics.",
+    tags=("asof", "window"),
+)
+def asof_join_error_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_us", "event_type"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    clicks_unique = last_per_key(
+        clicks, ["user_id", "click_ts"], [F.desc("click_id")]
+    )
+    out = join_asof(
+        errors, clicks_unique, "user_id", "ts_us", "click_ts",
+        ["click_id", "click_ts"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "click_id", "click_ts",
+        (F.col("ts_us") - F.col("click_ts")).alias("gap_us"),
     )
 
 

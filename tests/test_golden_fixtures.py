@@ -38,3 +38,31 @@ def test_h64_spark_matches_python(spark):
     df = spark.createDataFrame([("hello",), ("13",)], ["s"])
     got = {r["s"]: r["h"] for r in df.select("s", h64(F.col("s"), 7).alias("h")).collect()}
     assert got == {"hello": h64_py("hello", 7), "13": h64_py("13", 7)}
+
+
+def test_join_asof_semantics(spark):
+    """Exact-tie timestamps match (>=); left rows with no prior right row are
+    dropped (inner); latest-of-several-priors wins."""
+    from big_data_analytics_mini_projects_spark.operators.relational import join_asof
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 50), (3, "u", 30), (5, "u", 10), (4, "v", 100)],
+        "event_id long, user_id string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u", 50, 900), ("u", 20, 800), ("w", 1, 700)],
+        "user_id string, rts long, payload long",
+    )
+    got = {
+        r["event_id"]: (r["payload"], r["rts"])
+        for r in join_asof(
+            left, right, "user_id", "ts", "rts", ["payload", "rts"]
+        ).collect()
+    }
+    assert got == {
+        1: (900, 50),  # latest prior (50 beats 20)
+        2: (900, 50),  # exact tie: right row AT left ts is visible
+        3: (800, 20),  # only the earlier right row qualifies (20 <= 30 < 50)
+        # event 5 (ts=10): precedes all right rows -> dropped
+        # event 4 (user v): no right rows at all -> dropped (inner semantics)
+    }
