@@ -131,3 +131,45 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "event_type", F.expr("ts_us div 3600000000").alias("hour_bucket")
     ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+
+
+SESSION_GAP_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "session_windows_users",
+    oracle=(
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events), "
+        "o AS (SELECT user_id, t, value, CASE WHEN lag(t) OVER w IS NULL "
+        f"OR t - lag(t) OVER w >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), "
+        "s AS (SELECT user_id, t, value, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, MIN(t) AS session_start_us, "
+        f"MAX(t) + {SESSION_GAP_US} AS session_end_us, COUNT(*) AS n_events, "
+        f"{sql_dsum('value')} AS sum_value "
+        "FROM s GROUP BY user_id, sid"
+    ),
+    doc="Per-user session windows (10-min inactivity gap) via Spark's native "
+    "session_window — dynamic-length event-time sessions, the groupBy that "
+    "tumbling windows can't express; identical semantics to the "
+    "gaps-and-islands SQL (lag + running break count) the oracle runs. Works "
+    "unchanged as a streaming query with watermark + session_window.",
+    tags=("streaming", "window"),
+)
+def session_windows_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), f"{SESSION_GAP_US // 1_000_000} seconds"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -119,6 +119,67 @@ def scan_text_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_tables(spark: SparkSession, sf_dir: str):
+    """Materialize orders + customer bucketed by their join key (8 buckets,
+    sorted within buckets) and return the catalog-backed DataFrames.
+
+    Bucketing pre-shuffles the data ONCE at write time; every subsequent
+    equi-join or aggregation on the bucket key reads co-located partitions
+    and skips its exchange entirely — at 100 TB this turns the nightly
+    fact-to-dim join from a full-cluster shuffle into a local merge
+    (tests/test_plans.py asserts the exchange-free plan). Tables are
+    external (scratch path) so reruns are idempotent per sf dir.
+    """
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdamp_bkt")
+    specs = [
+        ("orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_custkey"),
+        ("customer", ["c_custkey", "c_mktsegment"], "c_custkey"),
+    ]
+    out = []
+    for name, cols, key in specs:
+        full = f"bdamp_bkt.{name}_{tag}"
+        path = _scratch_path(f"bkt_{name}", sf_dir)
+        if not (spark.catalog.tableExists(full) and os.path.isdir(path)):
+            spark.sql(f"DROP TABLE IF EXISTS {full}")
+            df = load_table(spark, sf_dir, name).select(*cols)
+            _reset(path)
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(full)
+            )
+        out.append(spark.table(full))
+    return out
+
+
+@register(
+    "bucketed_join_orders",
+    oracle=(
+        "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+        f"{sql_dsum('o_totalprice')} AS total_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    doc="Co-located join on bucketed tables: orders and customer bucketed 8x "
+    "on the join key at write time, so the join itself runs exchange-free "
+    "(plan-asserted in tests/test_plans.py); results identical to the plain "
+    "join oracle. The write-once/join-many layout for recurring fact-dim "
+    "joins at scale.",
+    tags=("bucketing",),
+    bench=False,  # dominated by the one-time bucketed write
+)
+def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_b, cust_b = bucketed_tables(spark, sf_dir)
+    joined = orders_b.join(cust_b, orders_b.o_custkey == cust_b.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
 @register(
     "sort_out_nation_stats",
     oracle=(

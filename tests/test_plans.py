@@ -83,3 +83,33 @@ def test_whole_stage_codegen_everywhere(spark, sf_dir):
         # '*(n) Operator' is the WholeStageCodegen stage marker in the
         # executed-plan rendering
         assert "*(1)" in plan, name
+
+
+def test_bucketed_join_skips_exchange(spark, sf_dir):
+    """Both sides bucketed 8x on the join key: the sort-merge join must read
+    co-located buckets with NO exchange on either input (the only shuffle in
+    the whole query is the final by-segment aggregate)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_mini_projects_spark.plans.sourcesq import (
+        bucketed_tables,
+    )
+
+    orders_b, cust_b = bucketed_tables(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so bucketing (not broadcast) is what
+        # eliminates the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            orders_b.join(cust_b, orders_b.o_custkey == cust_b.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            j._jdf.queryExecution(), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan  # final agg only
