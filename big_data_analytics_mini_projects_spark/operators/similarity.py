@@ -147,36 +147,36 @@ def simhash_values(
     fingerprint is 1 iff Σ_tokens (2·bit_p(h(token)) - 1) > 0.
 
     Returns (key, simhash, b0..b3) where b0..b3 are the 4 15-bit blocks used
-    for candidate blocking. Powers of two arrive as literal data (exactness
-    past 2^53)."""
-    spark = spark or tokens.sparkSession
-    bits = spark.createDataFrame(BIT_POWERS, "pos int, p2 long")
+    for candidate blocking.
+
+    Shuffle design: one groupBy(key) over the token rows with 60 conditional
+    SUM aggregates — one per bit — each `((h div 2^p) % 2) * 2 - 1`, combined
+    map-side like any other partial agg. The alternative (explode tokens x 60
+    bit positions, aggregate (key, pos)) shuffles 60x the corpus token count
+    for identical results; at 100 TB that is the whole job's cost. Powers of
+    two stay in integer arithmetic throughout (exact past double's 2^53)."""
     t = tokens.select(key, token_col).distinct().withColumn(
         "h", _h64_seeded(F.col(token_col), F.lit("sh"))
     )
     # integer div, not / : h spans 60 bits, past double's 2^53 exactness
-    contrib = (
-        t.crossJoin(F.broadcast(bits))
-        .groupBy(key, "pos", "p2")
-        .agg(F.sum((F.expr("(h div p2) % 2")) * 2 - 1).alias("c"))
+    counts = t.groupBy(key).agg(
+        *[
+            F.sum(F.expr(f"((h div {p2}) % 2) * 2 - 1")).alias(f"c{p}")
+            for p, p2 in BIT_POWERS
+        ]
     )
-    bit = (F.col("c") > 0).cast("long")
-    return (
-        contrib.withColumn("bit", bit)
-        .groupBy(key)
-        .agg(
-            F.sum(F.col("bit") * F.col("p2")).alias("simhash"),
-            *[
-                F.sum(
-                    F.when(
-                        F.expr(f"pos div 15") == blk,
-                        F.col("bit") * F.expr("cast(pow(2, pos % 15) as long)"),
-                    ).otherwise(F.lit(0))
-                ).alias(f"b{blk}")
-                for blk in range(4)
-            ],
-        )
-    )
+    def bit(p: int):
+        return (F.col(f"c{p}") > 0).cast("long")
+
+    simhash = sum((bit(p) * F.lit(p2) for p, p2 in BIT_POWERS[1:]), bit(0))
+    blocks = [
+        sum(
+            (bit(p) * F.lit(1 << (p % 15)) for p in range(blk * 15 + 1, blk * 15 + 15)),
+            bit(blk * 15) * F.lit(1 << 0),
+        ).alias(f"b{blk}")
+        for blk in range(4)
+    ]
+    return counts.select(key, simhash.alias("simhash"), *blocks)
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 8, key: str = "doc_id") -> DataFrame:
