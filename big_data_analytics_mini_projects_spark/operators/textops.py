@@ -20,23 +20,31 @@ BPE_PATTERN = r"([a-z]+|[0-9]+|[^a-z0-9\s])"
 
 
 def char_trigrams(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(key, tg) — one row per character trigram of the lowercased text."""
+    """(key, tg) — one row per character trigram of the lowercased text.
+
+    The lowered text is bound once per row via the transform(array(x), t ->
+    ...)[0] let-binding idiom; inlining `lower(text)` into the per-index
+    lambda would re-lower the whole string for every trigram position —
+    O(len²) character work per document (the doc_fingerprints lesson)."""
     expr = (
-        f"CASE WHEN length(lower({text_col})) >= 3 THEN "
-        f"transform(sequence(1, length(lower({text_col})) - 2), "
-        f"i -> substring(lower({text_col}), i, 3)) "
-        f"ELSE cast(array() as array<string>) END"
+        f"transform(array(lower({text_col})), t -> "
+        "CASE WHEN length(t) >= 3 THEN "
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
+        "ELSE cast(array() as array<string>) END)[0]"
     )
     return docs.select(key, F.explode(F.expr(expr)).alias("tg"))
 
 
 def lang_trigram_profiles(
-    trigrams_with_lang: DataFrame, top_n: int = 20
+    doc_tg_with_lang: DataFrame, top_n: int = 20
 ) -> DataFrame:
     """(lang, tg) — the top-N trigrams per language by corpus frequency
     (count desc, trigram asc tiebreak): the n-gram language profile of
-    Cavnar-Trenkle-style language ID, trained on the corpus itself."""
-    counts = trigrams_with_lang.groupBy("lang", "tg").agg(F.count(F.lit(1)).alias("c"))
+    Cavnar-Trenkle-style language ID, trained on the corpus itself.
+    Input is per-doc trigram *counts* with a lang column (doc_trigram_counts
+    ⋈ docs), so profile training aggregates the compact counts, not the raw
+    trigram stream."""
+    counts = doc_tg_with_lang.groupBy("lang", "tg").agg(F.sum("c").alias("c"))
     w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tg"))
     return (
         counts.withColumn("rn", F.row_number().over(w))
@@ -45,13 +53,22 @@ def lang_trigram_profiles(
     )
 
 
-def lang_id(docs: DataFrame, profiles: DataFrame, key: str = "doc_id") -> DataFrame:
+def doc_trigram_counts(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, tg, c): per-doc trigram counts — the shared base of profile
+    training and classification. One explode + one aggregate; callers persist
+    it when both consumers run in one job (the corpus-sized explode is the
+    expensive part, the aggregated counts are ~10x smaller)."""
+    return char_trigrams(docs, key).groupBy(key, "tg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def lang_id(doc_tg: DataFrame, profiles: DataFrame, key: str = "doc_id") -> DataFrame:
     """Predict each doc's language: argmax over languages of the number of
     doc trigram occurrences hitting the language's profile (score desc,
-    lang asc tiebreak). Returns (key, pred_lang, score). Docs matching no
-    profile trigram are dropped (identically on both engines)."""
-    tg = char_trigrams(docs, key)
-    doc_tg = tg.groupBy(key, "tg").agg(F.count(F.lit(1)).alias("c"))
+    lang asc tiebreak). ``doc_tg`` is :func:`doc_trigram_counts` output.
+    Returns (key, pred_lang, score). Docs matching no profile trigram are
+    dropped (identically on both engines)."""
     scores = (
         doc_tg.join(F.broadcast(profiles), "tg")
         .groupBy(key, "lang")

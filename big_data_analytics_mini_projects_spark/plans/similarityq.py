@@ -23,7 +23,7 @@ from ..operators.similarity import (
     simhash_values,
 )
 from ..functions.text import sql_tokens_ws, tokenize_ws
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 NUM_HASHES = 32
@@ -62,14 +62,14 @@ sigs AS (SELECT doc_id, seed, MIN({_SQL_H64_SH}) AS mh
 
 
 def _ws_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return tokenize_ws(docs).select("doc_id", "word")
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) word trigrams — the discriminative set representation
     for the LSH/dedup queries (see _SQL_SH_SIGS note)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import A3_TOKEN_PATTERN_SQL, tokenize_regex
 from ..operators.stats import ols_multi_grouped, ols_simple_grouped
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 TOP_K = 30
@@ -49,10 +49,14 @@ def word_observations(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataF
     a3_p1.py:40-66 (getFrequency + groupByKey), without the driver round-trip:
     the top-K word list stays a broadcast DataFrame, and zeros come from a
     left join instead of per-record closure emission."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "n_chars", "lang"
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars", "lang")
     )
-    words = tokenize_regex(docs.select("doc_id", "text")).select("doc_id", "word")
+    # consumed by per-doc totals, the top-K list, AND per-(doc,word) counts:
+    # persist so the regex tokenize runs once, in parallel
+    words = (
+        tokenize_regex(docs.select("doc_id", "text")).select("doc_id", "word").persist()
+    )
     tot = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
     top = (
         words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))

@@ -8,14 +8,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.textops import (
     STOPWORDS,
-    char_trigrams,
     doc_fingerprints,
+    doc_trigram_counts,
     lang_id,
     lang_trigram_profiles,
     text_quality,
     token_counts,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 _SQL_TRIGRAMS = """
@@ -46,10 +46,16 @@ tg AS (SELECT doc_id, unnest(CASE WHEN length(lower(text)) >= 3 THEN
     tags=("lang_id", "text_analysis"),
 )
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    tg = char_trigrams(docs).join(docs.select("doc_id", "lang"), "doc_id")
-    profiles = lang_trigram_profiles(tg)
-    return lang_id(docs, profiles)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    # one trigram explode + aggregate, persisted; profile training and
+    # classification both consume the compact per-doc counts
+    doc_tg = doc_trigram_counts(docs).persist()
+    profiles = lang_trigram_profiles(
+        doc_tg.join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return lang_id(doc_tg, profiles)
 
 
 @register(
@@ -127,4 +133,4 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("fingerprint", "text_analysis"),
 )
 def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+    return doc_fingerprints(spread(load_table(spark, sf_dir, "documents")))

@@ -50,3 +50,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition a scan before per-row-EXPENSIVE expansion (tokenize,
+    shingle, per-seed hashing, trigram explode).
+
+    A single small parquet file scans as ONE input split, which serializes
+    the entire downstream explode/hash pipeline onto one core until the
+    first shuffle — measured 6.6 s single-threaded vs <1 s spread for the
+    trigram pipeline at sf0.1. One cheap exchange of the compact base rows
+    buys full parallelism for the expansion. At 100 TB inputs arrive in
+    thousands of splits and the same call is a near-no-op re-balance; keep
+    it AFTER any scan-level filter so pushdown still reaches parquet."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
