@@ -29,6 +29,20 @@ def main() -> None:
     spark = get_spark("bdamp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up: touch every table (parquet footers, FS metadata) and run one
+    # trivial job so the first measured query doesn't absorb session start-up.
+    from big_data_analytics_mini_projects_spark.sources.tables import (
+        TABLE_NAMES,
+        load_table,
+    )
+
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception as e:  # a broken table must not zero the whole bench;
+            # the affected queries will record their own failures below
+            print(f"BENCH WARMUP SKIP {t}: {type(e).__name__}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, spec in QUERIES.items():

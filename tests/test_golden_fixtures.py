@@ -66,3 +66,68 @@ def test_join_asof_semantics(spark):
         # event 5 (ts=10): precedes all right rows -> dropped
         # event 4 (user v): no right rows at all -> dropped (inner semantics)
     }
+
+
+def test_join_asof_random_vs_bruteforce(spark):
+    """Seeded random instance: the window-merge as-of join equals the
+    brute-force definition (argmax over right rows with rts <= ts)."""
+    import random
+
+    from big_data_analytics_mini_projects_spark.operators.relational import join_asof
+
+    rng = random.Random(7)
+    left = [(i, f"u{rng.randrange(5)}", rng.randrange(1000)) for i in range(200)]
+    right_raw = {
+        (f"u{rng.randrange(5)}", rng.randrange(1000)): rng.randrange(10_000)
+        for _ in range(80)
+    }
+    right = [(u, t, p) for (u, t), p in right_raw.items()]
+
+    exp = {}
+    for eid, u, t in left:
+        cand = [(rt, p) for (ru, rt, p) in right if ru == u and rt <= t]
+        if cand:
+            exp[eid] = max(cand)[1]
+
+    ldf = spark.createDataFrame(left, "event_id long, user_id string, ts long")
+    rdf = spark.createDataFrame(right, "user_id string, rts long, payload long")
+    got = {
+        r["event_id"]: r["payload"]
+        for r in join_asof(ldf, rdf, "user_id", "ts", "rts", ["payload"]).collect()
+    }
+    assert got == exp
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Seeded random graph: min-label propagation equals union-find."""
+    import random
+
+    from big_data_analytics_mini_projects_spark.operators.similarity import (
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(45)})
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    exp = {n: min(members) for members in comp.values() for n in members}
+
+    pairs = spark.createDataFrame(edges, "ka long, kb long")
+    got = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert got == exp
