@@ -20,3 +20,4 @@ from . import textanalysisq  # noqa: F401  (lang-id / quality / tokens / fingerp
 from . import multimodalq  # noqa: F401  (multimodal decode plumbing + streaming)
 from . import sourcesq  # noqa: F401  (CSV / JSON-lines ingestion round trips, sorted sink)
 from . import sketchq  # noqa: F401  (HLL distinct / Count-Min heavy hitters)
+from . import relationalx  # noqa: F401  (rollup/cube, Q5 multi-join, range join, frames, quantiles)
