@@ -117,3 +117,38 @@ def test_bucketed_join_skips_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan  # final agg only
+
+
+def test_q5_dimensions_all_broadcast(spark, sf_dir):
+    """Every dimension of the five-way join broadcasts: the only hash
+    exchange in the plan is the final per-nation aggregate."""
+    plan = _plan(spark, sf_dir, "tpch_q5_local_supplier", mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_range_join_is_not_cartesian(spark, sf_dir):
+    """The interval self-join must ride the user_id equi-join (hash or
+    sort-merge) with the time predicate as a residual — never a nested-loop
+    or cartesian product."""
+    plan = _plan(spark, sf_dir, "range_join_purchase_context", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_rollup_single_expand_single_shuffle(spark, sf_dir):
+    """ROLLUP compiles to one Expand before ONE exchange with partial
+    aggregation — not a rescan per grouping set."""
+    plan = _plan(spark, sf_dir, "rollup_revenue", mode="simple")
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_" in plan
+
+
+def test_rolling_window_single_shuffle(spark, sf_dir):
+    """The frame-spec rolling mean shuffles once on the partition key; the
+    window itself is a streaming pass (Window node, no extra exchange)."""
+    plan = _plan(spark, sf_dir, "rolling_avg_user_value", mode="simple")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
