@@ -173,3 +173,53 @@ def session_windows_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+#: Per-class row-sampling rates in sixteenths: rare classes kept whole, the
+#: dominant class decimated — the class-rebalancing downsample every training
+#: corpus build runs. Record-level (event_id) hashing, not entity-level: the
+#: complement of the entity-complete samplers above.
+STRATA_SIXTEENTHS = {"error": 16, "purchase": 8, "signup": 4, "click": 2, "view": 1}
+
+_STRATA_CASE_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_SIXTEENTHS.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "sample_stratified",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, "
+        f"{sql_dsum('value', 4)} AS sum_value FROM events "
+        f"WHERE ('0x' || {hex_bucket_sql('event_id', 1, 'strat')})::BIGINT "
+        f"< {_STRATA_CASE_SQL} GROUP BY event_type"
+    ),
+    doc="Deterministic stratified (per-class) downsample: each event_type "
+    "keeps its own fraction of rows via a seeded-hash bucket threshold — "
+    "stateless, shuffle-free, reproducible across engines; the aggregate "
+    "shuffles only the survivors (beyond-reference training-data op).",
+    tags=("sample_stratified", "hash_mod", "filter_pred"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(hex_bucket("event_id", 1, "strat"), 16, 10).cast("int")
+    thr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in STRATA_SIXTEENTHS.items() for x in kv]
+            ),
+            F.col("event_type"),
+        ),
+        F.lit(0),
+    )
+    return (
+        ev.filter(bucket < thr)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", 4).alias("sum_value"),
+        )
+    )

@@ -152,3 +152,13 @@ def test_rolling_window_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rolling_avg_user_value", mode="simple")
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    """The rescan of the event_type-partitioned layout must resolve the
+    predicate from directory names: PartitionFilters carries event_type and
+    the data filters don't re-check it."""
+    plan = _plan(spark, sf_dir, "sink_partitioned_pruned")
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf_line and "purchase" in pf_line, pf_line
