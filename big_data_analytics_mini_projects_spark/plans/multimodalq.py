@@ -116,3 +116,45 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stream_user_stats(events_stream(spark, sf_dir)), output_mode="update"
     )
+
+
+@register(
+    "streaming_interval_join",
+    oracle=(
+        "SELECT p.event_id AS purchase_id, v.event_id AS view_id "
+        "FROM events p JOIN events v ON p.user_id = v.user_id "
+        "AND p.event_type = 'purchase' AND v.event_type = 'view' "
+        "AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts"
+    ),
+    doc="Stream-stream interval self-join with watermarks on both sides "
+    "(append mode, availableNow): the streaming twin of "
+    "range_join_purchase_context, emitting (purchase, view) pairs with "
+    "bounded join state; checked pair-for-pair against the batch SQL.",
+    tags=("streaming", "range_join"),
+    bench=False,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_stats import stream_purchase_context_pairs
+
+    return run_available_now(
+        stream_purchase_context_pairs(events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    doc="Watermarked streaming exact-dedup (dropDuplicatesWithinWatermark): "
+    "the stream unioned with itself (2x every record) collapses back to "
+    "exactly the distinct events; dedup state expires with the watermark so "
+    "it is bounded by the duplicate window, not stream length.",
+    tags=("streaming", "dedup"),
+    bench=False,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_stats import stream_dedup_doubled
+
+    return run_available_now(
+        stream_dedup_doubled(events_stream(spark, sf_dir)), output_mode="append"
+    )

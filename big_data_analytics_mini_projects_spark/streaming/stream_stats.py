@@ -146,3 +146,58 @@ def run_available_now(sdf: DataFrame, output_mode: str = "complete") -> DataFram
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def stream_purchase_context_pairs(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval self-join: (purchase, view) pairs where the view
+    happened in the 30 minutes before the purchase by the same user — the
+    streaming twin of plans/relationalx.range_join_purchase_context.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both sides, so Spark can size the join state: each side buffers only rows
+    younger than watermark + 30 min, and append-mode emits a pair the moment
+    both rows exist. State is O(recent window), not O(stream) — the property
+    that makes the join runnable forever at 100 TB/day.
+    """
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    return p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 30 MINUTES AND v_ts < p_ts"
+        ),
+    ).select("purchase_id", "view_id")
+
+
+def stream_dedup_doubled(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming dedup: the stream unioned with itself (every
+    record duplicated) then dropDuplicatesWithinWatermark(event_id) — the
+    streaming flavor of exact dedup. Dedup state expires as the watermark
+    passes, so state is bounded by the duplicate-arrival window, not the
+    stream length (vs dropDuplicates, whose state grows forever)."""
+    doubled = events.select("event_id", "user_id", "event_type", "value", "ts").union(
+        events.select("event_id", "user_id", "event_type", "value", "ts")
+    )
+    return (
+        doubled.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
