@@ -281,3 +281,120 @@ def quantile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.75).alias("p75"),
         F.max(F.when(F.col("rn") == F.col("n"), F.col("o_totalprice"))).alias("p100"),
     )
+
+
+#: Known event classes, pinned so the pivot's output columns are static —
+#: at scale you never want pivot's values-discovery pre-pass (an extra scan).
+_EVENT_CLASSES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "pivot_user_event_matrix",
+    oracle=(
+        "SELECT user_id, "
+        + ", ".join(
+            f"COUNT(*) FILTER (WHERE event_type = '{c}') AS {c}"
+            for c in _EVENT_CLASSES
+        )
+        + " FROM events GROUP BY user_id"
+    ),
+    doc="Pivot (long -> wide): per-user event-class count matrix with the "
+    "class list pinned, so Spark skips the values-discovery scan and the "
+    "whole pivot is one partial-agg shuffle (beyond-reference).",
+    tags=("pivot", "agg_count_by_key"),
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_CLASSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in _EVENT_CLASSES],
+    )
+
+
+_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle=" UNION ALL ".join(
+        f"SELECT l_returnflag, '{m}' AS measure, COUNT(*) AS n, "
+        f"{sql_dsum(m, 4)} AS total FROM lineitem GROUP BY l_returnflag"
+        for m in _MEASURES
+    ),
+    doc="Unpivot (wide -> long): four lineitem measures melted to "
+    "(measure, value) rows then aggregated per (returnflag, measure) — one "
+    "scan + one shuffle via the Expand operator, vs the oracle's four-scan "
+    "UNION ALL formulation (beyond-reference).",
+    tags=("unpivot", "agg_sum_by_key"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot("l_returnflag", _MEASURES, "measure", "val")
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"), dsum("val", 4).alias("total")
+    )
+
+
+@register(
+    "window_ranks_customers",
+    oracle=(
+        "SELECT c_mktsegment, c_custkey, "
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+        "round(percent_rank() OVER w, 4) AS prnk, "
+        "round(cume_dist() OVER w, 4) AS cd, "
+        "ntile(4) OVER (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC, c_custkey) AS quartile "
+        "FROM customer WINDOW w AS "
+        "(PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)"
+    ),
+    doc="The analytic ranking family (rank / dense_rank / percent_rank / "
+    "cume_dist / ntile) per market segment in ONE window pass: one shuffle "
+    "on the partition key, one sort, five functions (beyond-reference). "
+    "ntile gets a unique-ordering tiebreaker; the rank family is "
+    "ties-deterministic by definition.",
+    tags=("rank_window", "window"),
+)
+def window_ranks_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    wt = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 4).alias("prnk"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+@register(
+    "listagg_nation_names",
+    oracle=(
+        "SELECT n_name, COUNT(*) AS n_customers, "
+        "array_to_string(list_sort(list(c_name))[1:5], ',') AS first5 "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+    doc="Ordered string aggregation (LISTAGG shape): first five customer "
+    "names per nation, collect_list made deterministic by array_sort before "
+    "the slice — group-collect (agg_collect) composed with scalar array "
+    "functions, no UDF (beyond-reference).",
+    tags=("listagg", "agg_collect", "join_broadcast"),
+)
+def listagg_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_name", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("c_name")), 1, 5), ","
+        ).alias("first5"),
+    )

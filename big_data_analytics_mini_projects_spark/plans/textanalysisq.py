@@ -134,3 +134,54 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, word FROM (SELECT doc_id, "
+        "unnest(string_split(lower(text), ' ')) AS word FROM documents) "
+        "WHERE word <> ''), "
+        "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word), "
+        "dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS dfreq FROM toks GROUP BY word), "
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+        "s AS (SELECT doc_id, word, tf, dfreq, "
+        "tf * ln((n_docs + 1.0) / (dfreq + 1.0)) AS score "
+        "FROM tf JOIN dfreq USING (word) CROSS JOIN n) "
+        "SELECT doc_id, word, tf, dfreq, round(score, 4) AS tfidf "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, word) AS rn FROM s) WHERE rn <= 5"
+    ),
+    doc="TF-IDF scoring with smoothed IDF ln((N+1)/(df+1)) and top-5 terms "
+    "per doc: term frequencies and document frequencies are two shuffles of "
+    "token rows, the document-frequency table broadcasts back onto the TF "
+    "rows (vocabulary << corpus at any scale), and the corpus size joins as "
+    "a broadcast scalar — no driver round trip, no UDF "
+    "(beyond-reference training-data op).",
+    tags=("tfidf", "text_analysis", "tokenize_ws", "topk", "join_broadcast"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_ws(spread(docs.select("doc_id", "text"))).select("doc_id", "word")
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "word", "tf", "dfreq", F.round("score", 4).alias("tfidf"))
+    )
