@@ -164,3 +164,59 @@ def ols_words_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("beta"), F.asc("word"))
         .limit(20)
     )
+
+
+def _wide_dsum(col, scale: int = 4):
+    """Exact decimal sum with 38-digit headroom — for sums of squared doubles
+    (l_extendedprice² sums overflow decimal(18,s) above ~sf0.05)."""
+    return F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def _sql_wide_dsum(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+@register(
+    "corr_price_quantity",
+    oracle=(
+        "WITH s AS (SELECT l_returnflag, COUNT(*) AS n, "
+        f"{_sql_wide_dsum('l_quantity')} AS sx, "
+        f"{_sql_wide_dsum('l_extendedprice')} AS sy, "
+        f"{_sql_wide_dsum('l_quantity * l_extendedprice')} AS sxy, "
+        f"{_sql_wide_dsum('l_quantity * l_quantity')} AS sxx, "
+        f"{_sql_wide_dsum('l_extendedprice * l_extendedprice')} AS syy "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n, "
+        "round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) "
+        "* (n * syy - sy * sy)), 4) AS corr "
+        "FROM s"
+    ),
+    doc="Pearson correlation per group from EXACT decimal sufficient "
+    "statistics (n, Σx, Σy, Σxy, Σx², Σy²) instead of the builtin corr(), "
+    "whose double co-moment merges are partition-order dependent: the five "
+    "sums are exact, the corr formula is one deterministic double "
+    "expression, and the whole thing is a single partial-agg shuffle "
+    "(beyond-reference; the sufficient-statistic pattern behind ols_simple, "
+    "SURVEY.md §7.4.5).",
+    tags=("corr", "agg_mean_std", "agg_combiner"),
+)
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _wide_dsum(x).alias("sx"),
+        _wide_dsum(y).alias("sy"),
+        _wide_dsum(x * y).alias("sxy"),
+        _wide_dsum(x * x).alias("sxx"),
+        _wide_dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
+        ).alias("corr"),
+    )
