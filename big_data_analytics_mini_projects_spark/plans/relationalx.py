@@ -298,21 +298,21 @@ _EVENT_CLASSES = ["click", "view", "purchase", "signup", "error"]
         )
         + " FROM events GROUP BY user_id"
     ),
-    doc="Pivot (long -> wide): per-user event-class count matrix with the "
-    "class list pinned, so Spark skips the values-discovery scan and the "
-    "whole pivot is one partial-agg shuffle (beyond-reference).",
+    doc="Pivot (long -> wide): per-user event-class count matrix. Lowered to "
+    "conditional aggregation rather than groupBy().pivot(): with a pinned "
+    "class list the two are semantically identical, but .pivot() compiles "
+    "to TWO shuffles (pre-aggregate on (key, class), then pivotfirst) while "
+    "conditional aggregates are ONE partial-agg shuffle — plan-asserted in "
+    "tests/test_plans.py (beyond-reference).",
     tags=("pivot", "agg_count_by_key"),
 )
 def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    wide = (
-        ev.groupBy("user_id")
-        .pivot("event_type", _EVENT_CLASSES)
-        .agg(F.count(F.lit(1)))
-    )
-    return wide.select(
-        "user_id",
-        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in _EVENT_CLASSES],
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == c, 1)).alias(c)
+            for c in _EVENT_CLASSES
+        ]
     )
 
 

@@ -162,3 +162,20 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "event_type" in pf_line and "purchase" in pf_line, pf_line
+
+
+def test_pivot_single_shuffle_no_discovery(spark, sf_dir):
+    """Pinned class list: the pivot is one partial-agg shuffle; no second
+    aggregate for values discovery appears in the plan."""
+    plan = _plan(spark, sf_dir, "pivot_user_event_matrix", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_" in plan
+
+
+def test_unpivot_uses_expand_single_scan(spark, sf_dir):
+    """Unpivot compiles to Expand over ONE lineitem scan + one shuffle — not
+    the oracle's four-scan UNION ALL."""
+    plan = _plan(spark, sf_dir, "unpivot_lineitem_measures", mode="simple")
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
