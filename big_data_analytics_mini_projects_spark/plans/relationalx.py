@@ -398,3 +398,47 @@ def listagg_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.collect_list("c_name")), 1, 5), ","
         ).alias("first5"),
     )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=(
+        "WITH big AS (SELECT l_orderkey, "
+        f"{sql_dsum('l_quantity')} AS sum_qty "
+        "FROM lineitem GROUP BY l_orderkey "
+        f"HAVING {sql_dsum('l_quantity')} > 250) "
+        "SELECT c_name, o_custkey, o_orderkey, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str, o_totalprice, sum_qty "
+        "FROM big JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+    ),
+    doc="TPC-H Q18 shape (large-volume orders): the HAVING aggregate runs "
+    "FIRST and collapses lineitem to the ~1% qualifying orders, which then "
+    "broadcast onto orders — the fact table is never shuffled for the join; "
+    "top-100 compiles to TakeOrderedAndProject (per-partition heaps).",
+    tags=("multi_join", "agg_having_count", "topk", "join_broadcast"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
