@@ -442,3 +442,29 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "histogram_order_values",
+    oracle=(
+        "SELECT CAST(least(floor(o_totalprice / 5000), 19) AS BIGINT) AS bucket, "
+        "COUNT(*) AS n, "
+        f"{sql_dsum('o_totalprice')} AS total "
+        "FROM orders GROUP BY bucket"
+    ),
+    doc="Fixed-width histogram of order values (5000-wide buckets, top bucket "
+    "open-ended): binning is a pure scalar projection so the whole histogram "
+    "is one partial-agg shuffle of 20 groups — the profile-a-column "
+    "primitive that runs at any scale (beyond-reference).",
+    tags=("histogram", "agg_count_by_key"),
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 5000), F.lit(19)).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
