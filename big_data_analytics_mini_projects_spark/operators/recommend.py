@@ -95,7 +95,9 @@ def cf_item_similarities(
         F.col("item").alias("item_b"), F.col("n").alias("nb"),
         F.col("s").alias("sfb"), F.col("q").alias("qb"),
     )
-    j = pairs.join(F.broadcast(sta), "item_a").join(F.broadcast(stb), "item_b")
+    # per-item stats grow with the catalog — unhinted, AQE decides (broadcast
+    # while small, shuffled hash join at catalog scale)
+    j = pairs.join(sta, "item_a").join(stb, "item_b")
     ma = _mean(F.col("sfa"), F.col("na"))
     mb = _mean(F.col("sfb"), F.col("nb"))
     # Expression structure mirrored 1:1 in the SQL oracle — keep in sync.

@@ -23,6 +23,23 @@ def join_broadcast(big: DataFrame, small: DataFrame, on, how: str = "inner") -> 
     return big.join(F.broadcast(small), on, how)
 
 
+def join_auto(big: DataFrame, small: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Equi-join with NO strategy hint: Catalyst costs it at plan time and AQE
+    re-picks at runtime (promoting to broadcast when the built side is under
+    ``spark.sql.adaptive.autoBroadcastJoinThreshold``, demoting when not).
+
+    Use this — not ``join_broadcast`` — whenever the smaller side SCALES WITH
+    THE DATA (customer, supplier, a HAVING-qualifying key set, per-item
+    stats): an unconditional ``F.broadcast`` hint pins the strategy, disables
+    AQE's size-based demotion, and OOMs executors at 100 TB. Reserve
+    ``join_broadcast`` for provably-bounded relations (nation, region, a
+    top-K list, trigram profiles). At test SF the physical plan is identical
+    (AQE broadcasts the small side anyway); at scale this one degrades
+    gracefully to shuffled hash / sort-merge instead of failing.
+    """
+    return big.join(small, on, how)
+
+
 def join_anti(r: DataFrame, s: DataFrame, on) -> DataFrame:
     """Set difference R-S as an anti join (MRSystemSimulator2020.py:199-212).
 

@@ -10,6 +10,7 @@ from ..operators.aggregates import dsum, sql_dsum
 from ..operators.relational import (
     join_anti,
     join_asof,
+    join_auto,
     join_broadcast,
     join_salted,
     join_semi,
@@ -150,9 +151,10 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY r_name, n_name"
     ),
-    doc="Star join with explicitly broadcast dimensions (join_broadcast, "
-    "a3_p1.py:37 / a3_p2.py:72 driver-broadcast lookups): the fact table "
-    "never shuffles for the joins, only for the final aggregate.",
+    doc="Star join with broadcast dimensions (join_broadcast, a3_p1.py:37 / "
+    "a3_p2.py:72 driver-broadcast lookups): nation/region are provably "
+    "bounded and carry the hint; the customer-scale dims frame is "
+    "AQE-decided (broadcast at small SF, graceful shuffle at 100 TB).",
     tags=("join_broadcast",),
 )
 def broadcast_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,8 +167,9 @@ def broadcast_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         region,
         F.col("n_regionkey") == F.col("r_regionkey"),
     ).select("c_custkey", "n_name", "r_name")
+    # dims contains every customer — unbounded, so no hint (join_auto)
     return (
-        join_broadcast(orders, dims, orders.o_custkey == F.col("c_custkey"))
+        join_auto(orders, dims, orders.o_custkey == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
     )
@@ -234,7 +237,8 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    joined = join_broadcast(orders, cust, orders.o_custkey == cust.c_custkey).join(
+    # filtered customer set still scales with the data -> AQE-decided
+    joined = join_auto(orders, cust, orders.o_custkey == cust.c_custkey).join(
         li, F.col("o_orderkey") == li.l_orderkey
     )
     agg = joined.groupBy(
@@ -263,7 +267,7 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = join_broadcast(orders, cust, orders.o_custkey == cust.c_custkey)
+    j = join_auto(orders, cust, orders.o_custkey == cust.c_custkey)
     return topk_per_group(
         j.select("c_mktsegment", "o_orderkey", "o_totalprice"),
         ["c_mktsegment"],
@@ -358,7 +362,9 @@ def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "project_json_events",
     oracle=(
         "SELECT event_type, COUNT(*) AS n, "
-        "SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+        # Outer CAST: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in pandas,
+        # mismatching Spark's int64 in the driver's dtype-sensitive value-hash.
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
         "round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) "
         "/ COUNT(*), 4) AS avg_k "
         "FROM events GROUP BY event_type"

@@ -98,7 +98,9 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_user_stats",
     oracle=(
         "SELECT user_id, COUNT(*) AS n, "
-        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents, "
+        # Outer CAST: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in pandas,
+        # mismatching Spark's int64 in the driver's dtype-sensitive value-hash.
+        "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents, "
         "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 "
         "/ COUNT(*) AS mean "
         "FROM events GROUP BY user_id"

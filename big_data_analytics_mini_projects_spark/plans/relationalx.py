@@ -10,9 +10,10 @@ as first-class oracle-checked queries. Scale notes per query:
 - ROLLUP/CUBE run as a single shuffle: Spark expands grouping sets with the
   `Expand` operator *before* the exchange, so partial aggregation still
   applies — no per-grouping-set rescan of the fact table.
-- The multi-join broadcasts every dimension (customer/supplier/nation/region
-  are tiny relative to lineitem at any SF), so the only shuffle of fact rows
-  is the lineitem⋈orders equi-join plus the final per-nation aggregate.
+- The multi-join hints broadcast only for the provably-bounded nation/region
+  set; customer/supplier are AQE-decided (broadcast while they fit, shuffled
+  hash at scale), so at test SF the only shuffle of fact rows is the
+  lineitem⋈orders equi-join plus the final per-nation aggregate.
 - The range join rides an equi-join on the entity key (user_id) with the
   time predicate as a residual filter — never a cross product; skewed users
   would be handled by AQE skew-split since the join is a plain SortMergeJoin.
@@ -69,7 +70,8 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name", "r_name")
     )
     return (
-        orders.join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+        # dims carries every customer (unbounded) — no hint, AQE decides
+        orders.join(dims, orders.o_custkey == F.col("c_custkey"))
         .rollup("r_name", "n_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
@@ -127,9 +129,11 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
         "GROUP BY n_name"
     ),
-    doc="TPC-H Q5 shape (local-supplier volume): five-way join where every "
-    "dimension broadcasts, so fact rows shuffle exactly once for "
-    "lineitem><orders and once for the final per-nation agg.",
+    doc="TPC-H Q5 shape (local-supplier volume): five-way join; the bounded "
+    "nation set is hint-broadcast, customer/supplier are AQE-decided, so at "
+    "small SF fact rows shuffle exactly once for lineitem><orders and once "
+    "for the final per-nation agg, and at 100 TB the plan degrades "
+    "gracefully instead of OOMing the broadcast.",
     tags=("multi_join", "join_broadcast", "filter_pred", "agg_dotprod"),
 )
 def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,8 +150,11 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # customer/supplier scale with the data — unhinted, AQE picks
+        # broadcast while they fit and demotes at 100 TB; only the bounded
+        # nation set keeps the hint
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -414,9 +421,10 @@ def listagg_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
     ),
     doc="TPC-H Q18 shape (large-volume orders): the HAVING aggregate runs "
-    "FIRST and collapses lineitem to the ~1% qualifying orders, which then "
-    "broadcast onto orders — the fact table is never shuffled for the join; "
-    "top-100 compiles to TakeOrderedAndProject (per-partition heaps).",
+    "FIRST and collapses lineitem to the ~1% qualifying orders; the "
+    "qualifying set and customer join unhinted (AQE broadcasts them while "
+    "small — they grow with the fact table, so no pinned hint); top-100 "
+    "compiles to TakeOrderedAndProject (per-partition heaps).",
     tags=("multi_join", "agg_having_count", "topk", "join_broadcast"),
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,8 +437,11 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # the HAVING-qualifying set is ~1% of orders and customer is the full
+        # dimension — both grow with the fact table, so neither is hinted;
+        # AQE promotes to broadcast while they fit the runtime threshold
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "o_custkey",

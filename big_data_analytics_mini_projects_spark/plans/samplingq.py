@@ -9,7 +9,7 @@ bit-for-bit — same merge-order argument as the reference's combiner legality
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import hex_bucket, hex_bucket_sql
 from ..operators.aggregates import dsum, sql_dsum
@@ -104,13 +104,17 @@ def sample_hashbucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_twopass_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ents = ev.select("user_id").distinct()
-    n = ents.count()
+    n = ents.count()  # two-pass semantics require the entity count (pass 1)
     k = int(-(-n * 0.02 // 1))  # ceil(pct*n), pct=0.02 per the assignment
-    w = Window.orderBy(
+    # Deterministic 'shuffle then top pct%': k smallest entities by seeded
+    # hash. orderBy().limit() compiles to TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows) — no global single-partition window.
+    sample = ents.orderBy(
         F.md5(F.concat(F.lit("tp:"), F.col("user_id").cast("string"))), F.col("user_id")
-    )
-    sample = ents.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    kept = ev.join(F.broadcast(sample.select("user_id")), "user_id", "left_semi")
+    ).limit(k)
+    # No broadcast hint: the sample is pct% of ALL entities (unbounded at
+    # scale); AQE promotes the semi join to broadcast when it is small.
+    kept = ev.join(sample.select("user_id"), "user_id", "left_semi")
     return _stats_agg(kept)
 
 

@@ -84,8 +84,10 @@ def scan_csv_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_text_reviews",
     oracle=(
         "SELECT verified, COUNT(*) AS n_reviews, "
-        "SUM(CAST(overall AS BIGINT)) AS sum_overall, "
-        "SUM(LENGTH(reviewText)) AS sum_chars FROM ("
+        # Outer CASTs: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in pandas,
+        # mismatching Spark's int64 in the driver's dtype-sensitive value-hash.
+        "CAST(SUM(CAST(overall AS BIGINT)) AS BIGINT) AS sum_overall, "
+        "CAST(SUM(LENGTH(reviewText)) AS BIGINT) AS sum_chars FROM ("
         "  SELECT 1.0 + (doc_id % 5) AS overall, (doc_id % 3) = 0 AS verified, "
         "         text AS reviewText FROM documents) "
         "GROUP BY verified"

@@ -34,7 +34,9 @@ tg AS (SELECT doc_id, unnest(CASE WHEN length(lower(text)) >= 3 THEN
         "row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tg ASC) AS rn "
         "FROM tgl GROUP BY lang, tg) WHERE rn <= 20), "
         "doc_tg AS (SELECT doc_id, tg, COUNT(*) AS c FROM tg GROUP BY doc_id, tg), "
-        "scores AS (SELECT doc_id, lang, SUM(c) AS score FROM doc_tg "
+        # CAST: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in pandas; Spark emits
+        # int64, so the driver's dtype-sensitive value-hash needs matching ints.
+        "scores AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS score FROM doc_tg "
         "JOIN prof USING (tg) GROUP BY doc_id, lang) "
         "SELECT doc_id, pred_lang, score FROM (SELECT doc_id, lang AS pred_lang, score, "
         "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn "
@@ -94,7 +96,8 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS ws, "
         "len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS bpe "
         "FROM documents) "
-        "SELECT source, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens, SUM(bpe) AS bpe_tokens, "
+        "SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(ws) AS BIGINT) AS ws_tokens, CAST(SUM(bpe) AS BIGINT) AS bpe_tokens, "
         "round(CAST(SUM(bpe) AS DOUBLE) / COUNT(*), 4) AS bpe_per_doc "
         "FROM t GROUP BY source"
     ),
@@ -216,7 +219,8 @@ t AS (
          len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS ws,
          len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS bpe
   FROM s)
-SELECT source, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens, SUM(bpe) AS bpe_tokens,
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens, CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
        round(CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
          AS avg_quality
 FROM t GROUP BY source

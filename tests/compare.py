@@ -29,6 +29,18 @@ def assert_df_equal(spark_df, duck_con, oracle_sql: str, float_tol: float = 0.0)
     b = _normalize(duck_con.execute(oracle_sql).df())
     assert list(a.columns) == list(b.columns), f"columns differ: {list(a.columns)} vs {list(b.columns)}"
     assert len(a) == len(b), f"row counts differ: {len(a)} vs {len(b)}"
+    # The driver's value-hash is dtype-sensitive: a Spark int64 column vs a
+    # DuckDB float64 column (e.g. SUM(BIGINT) -> HUGEINT -> float64) hashes
+    # differently even when every value is equal. Python's int == float would
+    # hide that here, so fail fast on any int-vs-float dtype split.
+    for c in a.columns:
+        ai = pd.api.types.is_integer_dtype(a[c])
+        bi = pd.api.types.is_integer_dtype(b[c])
+        assert ai == bi, (
+            f"column {c}: dtype class differs (spark {a[c].dtype} vs oracle "
+            f"{b[c].dtype}) — the driver's value-hash would reject this; "
+            f"CAST the oracle aggregate (HUGEINT leak?) or fix the Spark type"
+        )
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         if pd.api.types.is_float_dtype(a[c]):
