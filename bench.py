@@ -68,7 +68,15 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Mirror to a file: round 1's driver tail-capture clipped the head of the
+    # stdout line (losing "value"); the file copy makes the total unlosable.
+    try:
+        with open(os.path.join(_REPO_DIR, "bench_out.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"BENCH WARN could not write bench_out.json: {e}", file=sys.stderr)
     spark.stop()
 
 

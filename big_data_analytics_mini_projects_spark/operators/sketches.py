@@ -195,8 +195,14 @@ def cm_estimate(
         % width,
     )
     others = [c for c in candidates.columns]
+    # LEFT join + coalesce(0): a (seed, bucket) row absent from the sketch
+    # means that hash row never saw the bucket — its count is 0, and it must
+    # participate in the min (an inner join would silently drop the seed, or
+    # drop a never-seen candidate entirely instead of reporting cm_est = 0).
+    # The sketch itself is bounded (depth x width rows), so the broadcast
+    # hint is safe at any data scale.
     return (
-        keyed.join(F.broadcast(sketch), ["seed", "bucket"])
+        keyed.join(F.broadcast(sketch), ["seed", "bucket"], "left")
         .groupBy(*others)
-        .agg(F.min("c").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_est"))
     )

@@ -7,10 +7,14 @@ control = (lang = 'en') as the `verified` analog. K = 30 top words by count
 with word-asc tiebreak (the reference takes 1000; the synthetic vocabulary is
 only ~40 words).
 
-Spark computes via the applyInPandas grouped numpy fit (operators/stats.py);
-the DuckDB oracle uses the closed forms — standardized simple β = corr(x,y),
-t = r·sqrt((n-2)/(1-r²)); multivariate via the partial-correlation algebra —
-so the differential test cross-checks the UDF against independent math.
+Spark computes via the sufficient-statistic closed forms
+(operators/stats.py `ols_*_closed`: exact decimal Σx/Σy/Σxy/Σx²/Σy² + the
+partial-correlation algebra, ONE partial-agg shuffle, no grouped collect);
+the DuckDB oracle independently computes standardized simple β = corr(x,y),
+t = r·sqrt((n-2)/(1-r²)) and the multivariate partial-correlation algebra,
+so the differential test cross-checks two independent derivations. The
+reference-shaped applyInPandas numpy fit survives as the parity baseline
+(tests/test_stats.py: closed == grouped == plain numpy).
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import A3_TOKEN_PATTERN_SQL, tokenize_regex
-from ..operators.stats import ols_multi_grouped, ols_simple_grouped
+from ..operators.stats import ols_multi_closed, ols_simple_closed
 from ..sources.tables import load_table, spread
 from .registry import register
 
@@ -90,14 +94,15 @@ def word_observations(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataF
         "(SELECT word, COUNT(*) AS n, corr(x, y) AS r FROM dense GROUP BY word) "
         "WHERE r IS NOT NULL AND NOT isnan(r) AND abs(r) < 1"
     ),
-    doc="1 standardized simple OLS per top word via applyInPandas "
-    "(ols_simple, a3_p1.py:71-96); oracle cross-checks the numpy fit against "
-    "the closed form β = Pearson r.",
-    tags=("ols_simple", "agg_collect", "relfreq"),
+    doc="1 standardized simple OLS per top word from exact-decimal "
+    "sufficient statistics (ols_simple, a3_p1.py:71-96): β = Pearson r in "
+    "one partial-agg shuffle, per-group memory O(1) at any corpus size; "
+    "oracle re-derives r independently via DuckDB corr().",
+    tags=("ols_simple", "agg_combiner", "relfreq"),
 )
 def ols_simple_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = word_observations(spark, sf_dir)
-    fit = ols_simple_grouped(obs, "word", "x", "y", bonferroni_k=TOP_K)
+    fit = ols_simple_closed(obs, "word", "x", "y", bonferroni_k=TOP_K)
     return fit.filter(
         ~F.isnan("beta") & F.col("beta").isNotNull() & (F.abs(F.col("beta")) < 1)
     ).select("word", "n", F.round("beta", 4).alias("beta"), F.round("t_stat", 4).alias("t_stat"))
@@ -118,13 +123,15 @@ def ols_simple_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM betas WHERE (b1 * ryx + b2 * ryc) < 1"
     ),
     doc="Standardized 2-covariate OLS per word, controlling for lang='en' "
-    "(ols_multi, a3_p1.py:104-131, control <- `verified`); oracle uses "
-    "partial-correlation algebra, t per the reference's own SE formula.",
+    "(ols_multi, a3_p1.py:104-131, control <- `verified`): partial-"
+    "correlation algebra over one sufficient-statistic shuffle, t per the "
+    "reference's own SE formula; oracle re-derives the same algebra from "
+    "DuckDB corr() pairs.",
     tags=("ols_multi", "bool_encode"),
 )
 def ols_multi_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = word_observations(spark, sf_dir)
-    fit = ols_multi_grouped(obs, "word", "x", "ctrl", "y", bonferroni_k=TOP_K)
+    fit = ols_multi_closed(obs, "word", "x", "ctrl", "y", bonferroni_k=TOP_K)
     return (
         fit.filter(
             ~F.isnan("beta") & F.col("beta").isNotNull() & ~F.isnan("t_stat")
@@ -145,12 +152,13 @@ def ols_multi_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # golden-value unit tests in tests/test_stats.py
     doc="Full reference output shape: β, two-sided p, Bonferroni-corrected p "
     "(×K, a3_p1.py:94-96) per word, top-20 by β with tiebreak — the engine "
-    "twin of a3_p1's pos_corr list.",
+    "twin of a3_p1's pos_corr list; p-values via the vectorized t_sf pandas "
+    "UDF over the K aggregated rows.",
     tags=("ols_simple", "topk"),
 )
 def ols_words_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = word_observations(spark, sf_dir)
-    fit = ols_simple_grouped(obs, "word", "x", "y", bonferroni_k=TOP_K)
+    fit = ols_simple_closed(obs, "word", "x", "y", bonferroni_k=TOP_K)
     return (
         fit.filter(~F.isnan("beta"))
         .select(

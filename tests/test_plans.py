@@ -138,6 +138,17 @@ def test_q5_dimensions_all_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_ols_no_grouped_collect(spark, sf_dir):
+    """ols_simple_words runs on sufficient statistics: the plan must contain
+    NO grouped-map pandas node (which would materialize each word's whole
+    observation vector — ~the corpus — on one task). The only Python in the
+    plan is the vectorized t_sf over the K aggregated rows."""
+    plan = _plan(spark, sf_dir, "ols_simple_words", mode="simple")
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    multi = _plan(spark, sf_dir, "ols_multi_words", mode="simple")
+    assert "FlatMapGroupsInPandas" not in multi, multi
+
+
 def test_twopass_sampler_no_global_window(spark, sf_dir):
     """The seeded entity pick must compile to TakeOrderedAndProject
     (per-partition heaps), NOT a row_number over an un-partitioned window —

@@ -45,3 +45,18 @@ def test_cm_never_undercounts(spark):
         assert e >= t, (item, t, e)
     # the hot items dominate: their estimates should be exact or near-exact
     assert est["w0"][1] - est["w0"][0] <= 2
+
+
+def test_cm_point_query_unseen_item(spark):
+    """General point queries: an item the sketch never saw must still return
+    a row, with cm_est = 0 when any of its depth buckets is empty (left join
+    + coalesce — an inner join would drop the seed rows or the item)."""
+    items = spark.createDataFrame([("only",)] * 5, "item string")
+    sketch = cm_sketch_counts(items, "item")
+    probes = spark.createDataFrame([("only",), ("never-seen",)], "item string")
+    got = {r["item"]: r["cm_est"] for r in cm_estimate(sketch, probes).collect()}
+    assert got["only"] >= 5
+    assert "never-seen" in got, "unseen candidate must not vanish from output"
+    # with a single distinct sketched item, an unseen item collides with at
+    # most a few of the 4 buckets — at least one empty bucket forces 0
+    assert got["never-seen"] == 0

@@ -10,6 +10,9 @@ import pytest
 
 from big_data_analytics_mini_projects_spark.functions.stats_math import t_sf
 from big_data_analytics_mini_projects_spark.operators.stats import (
+    ols_multi_closed,
+    ols_multi_grouped,
+    ols_simple_closed,
     ols_simple_grouped,
 )
 
@@ -58,3 +61,39 @@ def test_ols_simple_matches_numpy(spark):
         assert abs(out[g]["t_stat"] - t) < 1e-9
         assert 0.0 <= out[g]["p_value"] <= 1.0
         assert out[g]["p_bonf"] == min(1.0, out[g]["p_value"] * 2)
+
+
+def _obs_frame(spark, with_ctrl=False):
+    rng = np.random.RandomState(11)
+    rows = []
+    for g, slope in (("g1", 1.4), ("g2", -0.6), ("g3", 0.0)):
+        x = rng.rand(60)
+        c = (rng.rand(60) > 0.5).astype(float)
+        y = slope * x + 0.8 * c + rng.rand(60)
+        rows += [
+            (g, float(xv), float(cv), float(yv)) for xv, cv, yv in zip(x, c, y)
+        ]
+    schema = "word string, x double, ctrl double, y double"
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ols_closed_matches_grouped_simple(spark):
+    """The sufficient-statistic closed form (the 100 TB path) reproduces the
+    reference-shaped applyInPandas numpy fit on every output column."""
+    obs = _obs_frame(spark)
+    a = {r["word"]: r for r in ols_simple_closed(obs, bonferroni_k=3).collect()}
+    b = {r["word"]: r for r in ols_simple_grouped(obs, bonferroni_k=3).collect()}
+    assert set(a) == set(b)
+    for g in a:
+        for col in ("n", "beta", "t_stat", "p_value", "p_bonf"):
+            assert abs(a[g][col] - b[g][col]) < 1e-8, (g, col, a[g][col], b[g][col])
+
+
+def test_ols_closed_matches_grouped_multi(spark):
+    obs = _obs_frame(spark, with_ctrl=True)
+    a = {r["word"]: r for r in ols_multi_closed(obs, bonferroni_k=3).collect()}
+    b = {r["word"]: r for r in ols_multi_grouped(obs, bonferroni_k=3).collect()}
+    assert set(a) == set(b)
+    for g in a:
+        for col in ("n", "beta", "beta_ctrl", "t_stat", "p_value", "p_bonf"):
+            assert abs(a[g][col] - b[g][col]) < 1e-8, (g, col, a[g][col], b[g][col])
