@@ -48,6 +48,10 @@ def main() -> None:
     for name, spec in QUERIES.items():
         if not spec.bench:
             continue
+        # NOTE: no clearCache between queries — suite families intentionally
+        # share persisted intermediates (cf_predict reuses cf_item's ratings,
+        # dedup_clusters reuses the LSH bands), mirroring a real pipeline
+        # where stages consume one materialization.
         t0 = time.perf_counter()
         try:
             df = spec.build(spark, sf_dir)

@@ -31,16 +31,19 @@ from . import sourcesq  # noqa: F401  (CSV / JSON-lines ingestion round trips, s
 from . import sketchq  # noqa: F401  (HLL distinct / Count-Min heavy hitters)
 from . import relationalx  # noqa: F401  (rollup/cube, Q5 multi-join, range join, frames, quantiles)
 
-# -- tier 2: round-1 hash-fail oracles (HUGEINT casts fixed) + new queries --
+# -- tier 2: round-1 hash-fail oracles (HUGEINT casts fixed) + new queries,
+#    then modules whose implementation changed this round (OLS closed forms,
+#    CF broadcast guards, sampler top-k rewrite) so the driver re-verifies
+#    as many changed queries as the window allows --
 from . import textanalysisq  # noqa: F401  (lang-id / quality / tokens / fingerprints)
 from . import core  # noqa: F401  (relational / TPC-H / JSON / window)
 from . import mlq  # noqa: F401  (momentum-GD linear regression, MLlib equivalence)
-
-# -- tier 3: fully green in round 1 --
-from . import textq  # noqa: F401  (tokenizers / word count / set ops / mean-chars)
-from . import samplingq  # noqa: F401  (samplers / welford / hourly windows)
-from . import linalgq  # noqa: F401  (COO matmul)
 from . import statsq  # noqa: F401  (per-word OLS hypothesis testing)
 from . import recommendq  # noqa: F401  (item-item CF similarity + prediction)
+from . import samplingq  # noqa: F401  (samplers / welford / hourly windows)
+
+# -- tier 3: fully green in round 1, unchanged --
+from . import textq  # noqa: F401  (tokenizers / word count / set ops / mean-chars)
+from . import linalgq  # noqa: F401  (COO matmul)
 from . import similarityq  # noqa: F401  (minhash / LSH / dedup suite)
 from . import vectorq  # noqa: F401  (embedding ANN / cosine dedup)
