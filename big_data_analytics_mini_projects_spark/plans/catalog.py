@@ -38,6 +38,7 @@ from . import relationalx  # noqa: F401  (rollup/cube, Q5 multi-join, range join
 from . import textanalysisq  # noqa: F401  (lang-id / quality / tokens / fingerprints)
 from . import core  # noqa: F401  (relational / TPC-H / JSON / window)
 from . import mlq  # noqa: F401  (momentum-GD linear regression, MLlib equivalence)
+from . import pipelineq  # noqa: F401  (incremental dedup, k-means step, funnel, BM25)
 from . import statsq  # noqa: F401  (per-word OLS hypothesis testing)
 from . import recommendq  # noqa: F401  (item-item CF similarity + prediction)
 from . import samplingq  # noqa: F401  (samplers / welford / hourly windows)
