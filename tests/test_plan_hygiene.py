@@ -1,0 +1,64 @@
+"""Catalog-wide physical-plan hygiene: every benched query's plan is audited
+for the node types that kill 100 TB jobs, with explicit allowlists for the
+places they are deliberate.
+
+Invariants:
+- NO row-at-a-time Python UDF (BatchEvalPython) anywhere — Python in a hot
+  path must be Arrow-vectorized or absent.
+- NO grouped-map pandas (FlatMapGroupsInPandas) — per-group materialization
+  scales with the corpus (the round-1 OLS flaw; closed forms replaced it).
+- NO unhinted CartesianProduct anywhere.
+- ArrowEvalPython (vectorized pandas UDF) only where declared: the t_sf
+  p-value evaluation over K aggregated rows. Catalyst prunes it from
+  ols_simple/multi because the column is dropped — only the pvalues query
+  keeps it.
+- MapInPandas only in the multimodal decode plumbing (Arrow-batched by
+  design).
+- BroadcastNestedLoopJoin only for (a) 1-row/bounded-K broadcast cross
+  joins of corpus-stats frames and (b) the documented brute-force ANN
+  baselines whose blocked twins are the scale path.
+"""
+
+from __future__ import annotations
+
+from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+
+ARROW_EVAL_OK = {"ols_words_pvalues"}
+MAP_IN_PANDAS_OK = {"multimodal_meta", "multimodal_frames"}
+BNLJ_OK = {
+    # 1-row corpus-stats / bounded-K broadcast cross joins:
+    "tfidf_top_terms",      # n_docs scalar
+    "bm25_top_terms",       # (n_docs, avgdl) scalar
+    "funnel_conversion",    # three stage-count scalars
+    "kmeans_lloyd_step",    # K=8 centroid frame
+    "ols_simple_words",     # dense docs x top-K word frame (broadcast-bounded)
+    "ols_multi_words",
+    "ols_words_pvalues",
+    # documented brute-force baselines (blocked twins are the scale path):
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+}
+
+
+def test_catalog_plan_hygiene(spark, sf_dir):
+    problems = []
+    for name, spec in QUERIES.items():
+        if not spec.bench:
+            continue
+        df = spec.build(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "simple"
+        )
+        if "BatchEvalPython" in plan:
+            problems.append(f"{name}: row-at-a-time Python UDF")
+        if "FlatMapGroupsInPandas" in plan:
+            problems.append(f"{name}: grouped-map pandas materialization")
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "ArrowEvalPython" in plan and name not in ARROW_EVAL_OK:
+            problems.append(f"{name}: unexpected ArrowEvalPython")
+        if "MapInPandas" in plan and name not in MAP_IN_PANDAS_OK:
+            problems.append(f"{name}: unexpected MapInPandas")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not problems, "\n".join(problems)
