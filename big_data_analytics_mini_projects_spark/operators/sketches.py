@@ -206,3 +206,60 @@ def cm_estimate(
         .groupBy(*others)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_est"))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Mergeable histogram-quantile sketch: one pass bins values into
+    ``n_bins`` uniform buckets over [lo, hi); quantile q(p) is the upper edge
+    of the first bin whose cumulative count reaches ceil(p*n) — a
+    deterministic upper bound with error <= one bin width.
+
+    This is the fixed-memory complement to the exact rank-based quantiles
+    (plans/relationalx.py): bin counts are integers that merge by addition
+    across partitions/shards/days, so the same sketch state serves rolling
+    corpus percentiles at 100 TB where a global sort-rank pass is a job of
+    its own. The only non-map-side step is the cumulative sum over the BIN
+    table — bounded at n_bins rows regardless of data size (that bound is
+    the entire point of the sketch; the data itself is never windowed).
+
+    Returns (p, bin, n_le, est) — probability, chosen bin, cumulative count
+    at that bin, and the value estimate.
+    """
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    counts = df.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.withColumn("n_le", F.sum("c").over(w))
+    total = counts.agg(F.sum("c").alias("n"))
+    targets = F.explode(
+        F.array(*[F.lit(float(p)) for p in probs])
+    ).alias("p")
+    hits = (
+        cum.crossJoin(F.broadcast(total))
+        .select("bin", "n_le", targets, "n")
+        .filter(F.col("n_le") >= F.ceil(F.col("p") * F.col("n")))
+    )
+    best = hits.groupBy("p").agg(
+        F.min(F.struct("bin", "n_le")).alias("s")
+    )
+    return best.select(
+        "p",
+        F.col("s.bin").alias("bin"),
+        F.col("s.n_le").alias("n_le"),
+        F.round(F.lit(lo) + (F.col("s.bin") + 1) * F.lit(width), 4).alias("est"),
+    )

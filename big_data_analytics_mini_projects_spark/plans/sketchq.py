@@ -15,6 +15,7 @@ from ..functions.text import sql_tokens_ws, tokenize_ws
 from ..operators.sketches import (
     cm_estimate,
     cm_sketch_counts,
+    histogram_quantiles,
     hll_distinct,
     sql_hll_distinct,
 )
@@ -83,3 +84,40 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_estimate(
         sketch, true_top, item_col="word", depth=CM_DEPTH, width=CM_WIDTH
     ).select("word", "true_cnt", "cm_est")
+
+
+Q_LO, Q_HI, Q_BINS = 0.0, 102400.0, 1024  # width 100; orders <= ~60k
+Q_PROBS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "sketch_quantile_histogram",
+    oracle=(
+        f"WITH b AS (SELECT LEAST(GREATEST(CAST(floor((o_totalprice - {Q_LO}) "
+        f"/ {(Q_HI - Q_LO) / Q_BINS}) AS BIGINT), 0), {Q_BINS - 1}) AS bin "
+        "FROM orders), "
+        "counts AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin), "
+        "cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin "
+        "ROWS UNBOUNDED PRECEDING) AS n_le FROM counts), "
+        "tot AS (SELECT SUM(c) AS n FROM counts), "
+        f"probs AS (SELECT unnest([{', '.join(str(p) for p in Q_PROBS)}]) AS p), "
+        "hits AS (SELECT p, bin, n_le FROM cum CROSS JOIN tot CROSS JOIN probs "
+        "WHERE n_le >= ceil(p * n)) "
+        "SELECT p, bin, CAST(n_le AS BIGINT) AS n_le, "
+        f"round({Q_LO} + (bin + 1) * {(Q_HI - Q_LO) / Q_BINS}, 4) AS est "
+        "FROM (SELECT p, bin, n_le, row_number() OVER (PARTITION BY p "
+        "ORDER BY bin) AS rn FROM hits) WHERE rn = 1"
+    ),
+    doc="Mergeable histogram-quantile sketch over order values (1024 uniform "
+    "bins, p50/p90/p99): integer bin counts merge by addition across "
+    "partitions/shards/days; the quantile is the first bin whose cumulative "
+    "count reaches ceil(p*n) (error <= one bin width). The fixed-memory "
+    "complement to the exact rank-based quantile_order_value — completes "
+    "the sketch trilogy (HLL, Count-Min, quantiles).",
+    tags=("sketch", "quantile", "histogram"),
+)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram_quantiles(
+        orders, "o_totalprice", list(Q_PROBS), Q_LO, Q_HI, Q_BINS
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from big_data_analytics_mini_projects_spark.operators.sketches import (
     cm_estimate,
     cm_sketch_counts,
+    histogram_quantiles,
     hll_distinct,
 )
 
@@ -60,3 +61,23 @@ def test_cm_point_query_unseen_item(spark):
     # with a single distinct sketched item, an unseen item collides with at
     # most a few of the 4 buckets — at least one empty bucket forces 0
     assert got["never-seen"] == 0
+
+
+def test_histogram_quantiles_bounds_true_quantile(spark):
+    """q(p) upper-bounds the true quantile by at most one bin width, and
+    never under-estimates it."""
+    vals = [(float(i % 1000),) for i in range(5000)]  # uniform 0..999
+    df = spark.createDataFrame(vals, "v double")
+    got = {
+        r["p"]: r["est"]
+        for r in histogram_quantiles(
+            df, "v", [0.5, 0.9, 0.99], 0.0, 1024.0, 256
+        ).collect()
+    }
+    width = 1024.0 / 256
+    s = sorted(v for (v,) in vals)
+    import math
+
+    for p, est in got.items():
+        true_q = s[math.ceil(p * len(s)) - 1]
+        assert true_q <= est <= true_q + width + 1e-9, (p, true_q, est)
