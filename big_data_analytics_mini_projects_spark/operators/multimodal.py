@@ -80,6 +80,165 @@ def extract_binary_meta(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(kernel, META_SCHEMA)
 
 
+WAV_SCHEMA = "doc_id long, n_samples long, framerate long, abs_sum long"
+BMP_SCHEMA = "doc_id long, width long, height long, px_sum long"
+
+#: Deterministic synthesis parameters (mirrored in closed form by the SQL
+#: oracles — the differential test checks the REAL codec round trip against
+#: an independent derivation of the same signal).
+WAV_RATE = 8000
+
+
+def _wav_samples(doc_id: int) -> list[int]:
+    n = 100 + doc_id % 50
+    return [(((doc_id * 31 + i * 7) % 256) - 128) * 256 for i in range(n)]
+
+
+def synth_wav_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a REAL 16-bit mono PCM WAV container per doc,
+    written with the stdlib ``wave`` codec — an actual audio file, not a
+    fake blob. Content is a deterministic signal derived from doc_id."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                samples = _wav_samples(int(doc_id))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_RATE)
+                    w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, "doc_id long, payload binary")
+
+
+def decode_wav_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode — parses the WAV container with the stdlib codec
+    (header + PCM frames) and aggregates per-file sample statistics. This is
+    the decode kernel shape the PIL/soundfile stubs reserve, actually running
+    end to end: bytes in -> typed stats out, Arrow-batched, no external libs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            ns, rates, sums = [], [], []
+            for p in pdf["payload"]:
+                with wave.open(io.BytesIO(bytes(p)), "rb") as r:
+                    n = r.getnframes()
+                    rates.append(r.getframerate())
+                    raw = r.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                ns.append(n)
+                sums.append(sum(abs(s) for s in samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": ns,
+                    "framerate": rates,
+                    "abs_sum": sums,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, WAV_SCHEMA)
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % 4, 2 + doc_id % 3
+
+
+def _bmp_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    return (
+        (doc_id + 3 * x + 7 * y) % 256,
+        (doc_id * 2 + x + y) % 256,
+        (x * y + doc_id) % 256,
+    )
+
+
+def synth_bmp_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a REAL 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    BGR rows bottom-up, 4-byte row padding) per doc — stdlib struct only."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _bmp_dims(d)
+                row_len = (w * 3 + 3) & ~3
+                img_size = row_len * h
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+                )
+                rows = []
+                for y in range(h - 1, -1, -1):  # bottom-up per the format
+                    row = bytearray()
+                    for x in range(w):
+                        r, g, b = _bmp_pixel(d, x, y)
+                        row += bytes((b, g, r))  # BGR order
+                    row += b"\x00" * (row_len - len(row))
+                    rows.append(bytes(row))
+                payloads.append(header + b"".join(rows))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, "doc_id long, payload binary")
+
+
+def decode_bmp_stats(df: DataFrame) -> DataFrame:
+    """REAL image decode — parses the BMP header and pixel array (stdlib
+    struct): dimensions from BITMAPINFOHEADER, per-pixel RGB sum over the
+    padded bottom-up rows. The image twin of decode_wav_stats."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                assert raw[:2] == b"BM"
+                off = struct.unpack_from("<I", raw, 10)[0]
+                w, h = struct.unpack_from("<ii", raw, 18)
+                bpp = struct.unpack_from("<H", raw, 28)[0]
+                assert bpp == 24
+                row_len = (w * 3 + 3) & ~3
+                total = 0
+                for row_i in range(h):
+                    base = off + row_i * row_len
+                    total += sum(raw[base : base + w * 3])
+                ws.append(w)
+                hs.append(h)
+                sums.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": ws,
+                    "height": hs,
+                    "px_sum": sums,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, BMP_SCHEMA)
+
+
 def sample_frames(df: DataFrame) -> DataFrame:
     """One-to-many frame sampling (video-style UDTF shape): each payload
     yields (byte_len % 3) + 1 deterministic fake frames."""

@@ -244,15 +244,20 @@ def histogram_quantiles(
     from pyspark.sql import Window
 
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = counts.withColumn("n_le", F.sum("c").over(w))
-    total = counts.agg(F.sum("c").alias("n"))
+    # Grand total via an unbounded frame over the SAME bounded bin table the
+    # cumulative sum already windows — no join at all (a broadcast cross join
+    # of the 1-row total would add a BroadcastNestedLoopJoin for nothing).
+    # The single-partition window is safe here: the input is the sketch state
+    # itself, bounded at n_bins rows regardless of data size.
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = counts.withColumn("n_le", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
     targets = F.explode(
         F.array(*[F.lit(float(p)) for p in probs])
     ).alias("p")
-    hits = (
-        cum.crossJoin(F.broadcast(total))
-        .select("bin", "n_le", targets, "n")
-        .filter(F.col("n_le") >= F.ceil(F.col("p") * F.col("n")))
+    hits = cum.select("bin", "n_le", targets, "n").filter(
+        F.col("n_le") >= F.ceil(F.col("p") * F.col("n"))
     )
     best = hits.groupBy("p").agg(
         F.min(F.struct("bin", "n_le")).alias("s")

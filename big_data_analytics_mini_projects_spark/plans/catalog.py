@@ -36,9 +36,9 @@ from . import relationalx  # noqa: F401  (rollup/cube, Q5 multi-join, range join
 #    CF broadcast guards, sampler top-k rewrite) so the driver re-verifies
 #    as many changed queries as the window allows --
 from . import textanalysisq  # noqa: F401  (lang-id / quality / tokens / fingerprints)
-from . import core  # noqa: F401  (relational / TPC-H / JSON / window)
 from . import mlq  # noqa: F401  (momentum-GD linear regression, MLlib equivalence)
 from . import pipelineq  # noqa: F401  (incremental dedup, k-means step, funnel, BM25)
+from . import core  # noqa: F401  (relational / TPC-H / JSON / window; red fix first)
 from . import statsq  # noqa: F401  (per-word OLS hypothesis testing)
 from . import recommendq  # noqa: F401  (item-item CF similarity + prediction)
 from . import samplingq  # noqa: F401  (samplers / welford / hourly windows)

@@ -24,7 +24,12 @@ from __future__ import annotations
 from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
 
 ARROW_EVAL_OK = {"ols_words_pvalues"}
-MAP_IN_PANDAS_OK = {"multimodal_meta", "multimodal_frames"}
+MAP_IN_PANDAS_OK = {
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_wav_decode",  # real stdlib WAV codec round trip
+    "multimodal_bmp_decode",  # real stdlib BMP codec round trip
+}
 BNLJ_OK = {
     # 1-row corpus-stats / bounded-K broadcast cross joins:
     "tfidf_top_terms",      # n_docs scalar
