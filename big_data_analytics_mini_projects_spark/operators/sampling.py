@@ -25,9 +25,10 @@ def sample_entities_twopass(
     top ⌈pct·n⌉' — the hash order *is* the shuffle, but reproducible. Returns
     the sampled rows (all rows of sampled entities).
 
-    Scale note: the distinct+rank side is |entities| rows, typically tiny vs
-    the fact table; it broadcasts into the semi join, so the fact table never
-    shuffles.
+    Scale note: the sample holds ceil(pct*|entities|) keys — it SCALES WITH
+    THE DATA, so the semi join is unhinted: AQE broadcasts it while it fits
+    (keeping the fact table shuffle-free) and degrades to a shuffled semi
+    join at the scale where a pinned broadcast would OOM.
     """
     ents = df.select(entity_col).distinct()
     n = ents.count()
@@ -36,7 +37,7 @@ def sample_entities_twopass(
         ents.orderBy(F.md5(F.concat(F.lit(f"{seed}:"), F.col(entity_col).cast("string"))))
         .limit(k)
     )
-    return df.join(F.broadcast(sample), entity_col, "left_semi")
+    return df.join(sample, entity_col, "left_semi")
 
 
 def sample_entities_hashbucket(

@@ -299,8 +299,11 @@ def ngram_jaccard_pairs(
     table — persisted so shingling runs once."""
     shingles = shingles.persist()
     freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # The rare-shingle list is vocabulary-scale (grows with the corpus) — no
+    # broadcast hint; AQE promotes it when it is actually small and falls
+    # back to a shuffled join at 100 TB instead of OOMing the executors.
     keep = shingles.join(
-        F.broadcast(freq.filter(F.col("df") <= df_cap).select("shingle")), "shingle"
+        freq.filter(F.col("df") <= df_cap).select("shingle"), "shingle"
     )
     sizes = shingles.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
     a = keep.select(F.col(key).alias("ka"), "shingle")

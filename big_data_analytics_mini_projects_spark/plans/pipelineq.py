@@ -86,8 +86,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = ngram_shingles(docs, n=3).persist()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Rare-shingle list is vocabulary-scale — unhinted, AQE decides
+    # (same reasoning as ngram_jaccard_pairs / bm25's dfreq join).
     keep = sh.join(
-        F.broadcast(freq.filter(F.col("df") <= INC_DF_CAP).select("shingle")),
+        freq.filter(F.col("df") <= INC_DF_CAP).select("shingle"),
         "shingle",
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -157,9 +157,9 @@ def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     doc="TF-IDF scoring with smoothed IDF ln((N+1)/(df+1)) and top-5 terms "
     "per doc: term frequencies and document frequencies are two shuffles of "
-    "token rows, the document-frequency table broadcasts back onto the TF "
-    "rows (vocabulary << corpus at any scale), and the corpus size joins as "
-    "a broadcast scalar — no driver round trip, no UDF "
+    "token rows, the document-frequency table joins back unhinted "
+    "(vocabulary-scale — AQE broadcasts it while small), and the corpus "
+    "size joins as a broadcast scalar — no driver round trip, no UDF "
     "(beyond-reference training-data op).",
     tags=("tfidf", "text_analysis", "tokenize_ws", "topk", "join_broadcast"),
 )
@@ -174,7 +174,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("dfreq"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        # dfreq is vocabulary-scale — unhinted, AQE decides (bm25 pattern)
+        tf.join(dfreq, "word")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
