@@ -38,6 +38,8 @@ from . import relationalx  # noqa: F401  (rollup/cube, Q5 multi-join, range join
 from . import textanalysisq  # noqa: F401  (lang-id / quality / tokens / fingerprints)
 from . import mlq  # noqa: F401  (momentum-GD linear regression, MLlib equivalence)
 from . import pipelineq  # noqa: F401  (incremental dedup, k-means step, funnel, BM25)
+from . import graphq  # noqa: F401  (PageRank over the trade graph; new round 2)
+from . import corpusq  # noqa: F401  (bigram LM, SCD2, weighted reservoir, int8 quantize; new round 2)
 from . import core  # noqa: F401  (relational / TPC-H / JSON / window; red fix first)
 from . import statsq  # noqa: F401  (per-word OLS hypothesis testing)
 from . import recommendq  # noqa: F401  (item-item CF similarity + prediction)

@@ -210,3 +210,46 @@ def test_unpivot_uses_expand_single_scan(spark, sf_dir):
     assert plan.count("Expand") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """The gaps-and-islands SCD2 build is ONE hash(user_id) exchange: the
+    change-flag window, the cumulative island window, the (user, island)
+    groupBy (subset-satisfied) and the lead() close-off all reuse it."""
+    plan = _plan(spark, sf_dir, "scd2_user_event_intervals", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_weighted_reservoir_uses_take_ordered(spark, sf_dir):
+    """The A-ES pick must compile to TakeOrderedAndProject (per-partition
+    heaps) — not a global sort or an un-partitioned row_number window."""
+    plan = _plan(spark, sf_dir, "sample_weighted_reservoir", mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_bigram_pairs_no_shuffle_before_count(spark, sf_dir):
+    """Pair generation is a per-row array transform: the only exchanges are
+    the (w1,w2) count, the w1 total, and the final per-head window — no
+    shuffle exists below the first partial aggregate."""
+    plan = _plan(spark, sf_dir, "bigram_lm_successors", mode="simple")
+    assert "partial_count" in plan.replace("partial_count", "partial_count"), plan
+    # pair explode runs map-side: a Generate node feeds the partial aggregate
+    # with no Exchange in between (the spread() rebalance sits below the scan)
+    gen_idx = plan.index("Generate explode")
+    agg_above = plan.rindex("HashAggregate", 0, gen_idx)
+    seg = plan[agg_above:gen_idx]
+    assert "Exchange" not in seg, seg
+
+
+def test_pagerank_edges_reused_not_rescanned(spark, sf_dir):
+    """Each PageRank iteration must read the persisted edge/transition table
+    (InMemoryTableScan), not rebuild it: exactly one lineitem scan appears in
+    the whole 3-iteration plan."""
+    plan = _plan(spark, sf_dir, "pagerank_trade_graph", mode="simple")
+    # 3 iterations x edges + the initial ranks all read the cache. (The
+    # parquet scans visible in the text sit INSIDE the InMemoryRelation's
+    # cached-build subtree, printed once per reference — so count cache
+    # reads, not scan strings.)
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
