@@ -225,3 +225,172 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.round(F.avg("mse") * 1e6, 4).alias("mean_mse_ppm"),
     )
+
+
+BF_M = 4096  # bloom bit-space (bounded by construction -> broadcast legal)
+BF_K = 3     # hash functions
+
+
+def _bf_pos_sql(expr: str, j: int) -> str:
+    return f"(({h64_sql(expr, f'bf{j}')}) % {BF_M})"
+
+
+@register(
+    "bloom_filter_join_prune",
+    oracle=(
+        "WITH s AS (SELECT c_custkey FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'), "
+        "p AS ("
+        + " UNION ".join(
+            f"SELECT DISTINCT {_bf_pos_sql('c_custkey', j)} AS pos FROM s"
+            for j in range(BF_K)
+        )
+        + "), "
+        "o AS (SELECT o_orderpriority, o_custkey, "
+        + ", ".join(
+            f"{_bf_pos_sql('o_custkey', j)} AS pos{j}" for j in range(BF_K)
+        )
+        + " FROM orders), "
+        "f AS (SELECT o_orderpriority, o_custkey, "
+        "(" + " AND ".join(
+            f"pos{j} IN (SELECT pos FROM p)" for j in range(BF_K)
+        ) + ") AS bloom_pass, "
+        "o_custkey IN (SELECT c_custkey FROM s) AS is_member FROM o) "
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, "
+        "CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_member, "
+        "CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_false_pos "
+        "FROM f GROUP BY o_orderpriority"
+    ),
+    doc="Bloom-filter pre-join pruning — the runtime-filter pattern that cuts "
+    "a 100 TB shuffle before it happens (Spark's own "
+    "spark.sql.optimizer.runtime.bloomFilter is this, made explicit and "
+    f"cross-engine-deterministic): k={BF_K} md5-derived positions in an "
+    f"m={BF_M} bit space built from the BUILDING-segment custkeys; the "
+    "position table is bounded at m rows BY CONSTRUCTION, so it broadcasts "
+    "legally and the orders scan is filtered map-side with NO shuffle. The "
+    "query reports per-priority pass/member/false-positive accounting, so "
+    "the differential test pins both the filter semantics and the exact "
+    "false-positive set.",
+    tags=("bloom", "filter_pred", "join_broadcast"),
+)
+def bloom_filter_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    s = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    # Bit-position table: <= BF_M rows by construction -> broadcast hint legal.
+    p = None
+    for j in range(BF_K):
+        pj = s.select((h64("c_custkey", f"bf{j}") % BF_M).alias("pos"))
+        p = pj if p is None else p.unionByName(pj)
+    p = p.distinct()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    for j in range(BF_K):
+        orders = orders.withColumn(f"pos{j}", h64("o_custkey", f"bf{j}") % BF_M)
+    # Membership probes: BF_K broadcast left joins against the bounded
+    # position table — the fact side never shuffles (map-side filtering).
+    flags = orders
+    for j in range(BF_K):
+        pj = p.select(F.col("pos").alias(f"pos{j}"), F.lit(1).alias(f"hit{j}"))
+        flags = flags.join(F.broadcast(pj), f"pos{j}", "left")
+    bloom_pass = F.expr(
+        " AND ".join(f"hit{j} IS NOT NULL" for j in range(BF_K))
+    )
+    # Ground truth: the member set scales with customers -> unhinted (AQE).
+    member = s.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("is_m")
+    )
+    flags = flags.join(member, "o_custkey", "left").select(
+        "o_orderpriority",
+        bloom_pass.alias("bloom_pass"),
+        F.col("is_m").isNotNull().alias("is_member"),
+    )
+    return flags.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("long").alias("n_member"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0)
+        ).cast("long").alias("n_false_pos"),
+    )
+
+
+@register(
+    "embedding_zscore_by_label",
+    oracle=(
+        f"WITH el AS (SELECT vec_id, label, i AS dim, "
+        f"CAST(embedding[i + 1] AS DOUBLE) AS val "
+        f"FROM embeddings CROSS JOIN range({EMB_DIM}) AS t(i)), "
+        "st AS (SELECT label, dim, COUNT(*) AS n, SUM(val) AS s, "
+        "SUM(val * val) AS s2 FROM el GROUP BY label, dim), "
+        "z AS (SELECT el.vec_id, el.label, "
+        "(el.val - st.s / st.n) / sqrt(st.s2 / st.n - pow(st.s / st.n, 2)) "
+        "AS z FROM el JOIN st USING (label, dim)) "
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vals, "
+        "round(AVG(abs(z)), 4) AS mean_abs_z, "
+        "round(MAX(abs(z)), 4) AS max_abs_z FROM z GROUP BY label"
+    ),
+    doc="Per-label, per-dimension z-score normalization of the embedding "
+    "table (the feature-standardization pass before contrastive/classifier "
+    "training): population mean/std from one sufficient-statistic aggregate "
+    "(n, sum, sum-of-squares — the identical expression in both engines, not "
+    "each engine's own stddev kernel), normalized values re-aggregated to "
+    "per-label |z| diagnostics. The (label, dim) stats table is bounded at "
+    "labels*64 rows -> broadcast back onto the exploded values.",
+    tags=("embedding", "agg_mean_std", "quantize"),
+)
+def embedding_zscore_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = spread(emb).select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val_f")
+    ).withColumn("val", F.col("val_f").cast("double"))
+    st = el.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("s"),
+        F.sum(F.col("val") * F.col("val")).alias("s2"),
+    )
+    mean = F.col("s") / F.col("n")
+    sd = F.sqrt(F.col("s2") / F.col("n") - F.pow(mean, 2))
+    z = el.join(F.broadcast(st), ["label", "dim"]).select(
+        "vec_id", "label", ((F.col("val") - mean) / sd).alias("z")
+    )
+    return z.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
+        F.round(F.avg(F.abs("z")), 4).alias("mean_abs_z"),
+        F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+    )
+
+
+@register(
+    "skew_profile_events",
+    oracle=(
+        "WITH c AS (SELECT event_type, user_id, COUNT(*) AS c "
+        "FROM events GROUP BY event_type, user_id) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "CAST(SUM(c) AS BIGINT) AS n_rows, CAST(MAX(c) AS BIGINT) AS max_cnt, "
+        "round(MAX(c) / SUM(c), 4) AS max_share, "
+        "round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy "
+        "FROM c GROUP BY event_type"
+    ),
+    doc="Key-skew profiler — the diagnostic a 100 TB job runs BEFORE picking "
+    "a join strategy (salting? AQE skew split? broadcast?): per event_type, "
+    "the user-key distribution's cardinality, heaviest-key share, and "
+    "Shannon entropy, computed in ONE extra aggregate over the per-key "
+    "counts via entropy = ln(N) - sum(c*ln(c))/N — no per-key share join, "
+    "no window. Companion to salted_join_skewed (operators/relational.py).",
+    tags=("skew", "agg_count_by_key"),
+)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_cnt"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("max_share"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+        ).alias("entropy"),
+    )

@@ -253,3 +253,11 @@ def test_pagerank_edges_reused_not_rescanned(spark, sf_dir):
     # reads, not scan strings.)
     assert plan.count("InMemoryTableScan") >= 4, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_probes_are_broadcast(spark, sf_dir):
+    """The three bit-position probes must execute as broadcast hash joins
+    (the position table is bounded at BF_M rows by construction) — the
+    orders side is filtered map-side, never shuffled for the probes."""
+    plan = _executed_plan(spark, sf_dir, "bloom_filter_join_prune")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
