@@ -81,6 +81,9 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+        # Cached: the union's two branches, the out-weight aggregate, and the
+        # transition join all read e0 — without this the lineitem join runs 4x.
+        .persist()
     )
     e = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
