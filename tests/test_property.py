@@ -110,3 +110,90 @@ def test_connected_components_matches_union_find(spark):
             r["node"]: r["label"] for r in connected_components(pdf).collect()
         }
         assert got == _union_find_components(edges), f"seed {seed}"
+
+
+def test_pagerank_rank_mass_conserved(spark, sf_dir):
+    """With both edge directions present every node has out-edges, so no
+    rank mass dangles: sum(r) == 0.15 + 0.85 == 1 after every iteration.
+    The catalog query outputs r*N, so sum(rank_rel) must equal N."""
+    from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["pagerank_trade_graph"].build(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r["rank_rel"] for r in rows)
+    assert abs(total - n) < 1e-2 * n**0.5 + 1e-6, (total, n)
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark, sf_dir):
+    """Per user: islands are consecutive from 1, interval starts strictly
+    increase, each interval closes exactly where the next opens (to_us =
+    next from_us - 1; the last is open = -1), and n_rows sums to the user's
+    event count."""
+    from collections import defaultdict
+
+    from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+    from big_data_analytics_mini_projects_spark.sources.tables import load_table
+
+    rows = QUERIES["scd2_user_event_intervals"].build(spark, sf_dir).collect()
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert set(by_user) == set(ev_counts)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["seq"])
+        assert [r["seq"] for r in ivs] == list(range(1, len(ivs) + 1)), uid
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["from_us"] < b["from_us"], uid
+            assert a["to_us"] == b["from_us"] - 1, uid
+        assert ivs[-1]["to_us"] == -1, uid
+        assert sum(r["n_rows"] for r in ivs) == ev_counts[uid], uid
+
+
+def test_bloom_filter_never_false_negative(spark, sf_dir):
+    """The Bloom filter may pass non-members (n_false_pos >= 0) but must
+    NEVER reject a member: every member order passes, in every group."""
+    from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["bloom_filter_join_prune"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n_true_pass = r["n_pass"] - r["n_false_pos"]
+        assert n_true_pass == r["n_member"], r
+        assert 0 <= r["n_false_pos"] <= r["n_orders"] - r["n_member"], r
+
+
+def test_weighted_reservoir_matches_python_aes(spark, sf_dir):
+    """The sampled doc set equals an independent pure-Python A-ES
+    re-derivation (same md5 hash, same ln(u)/w key, same tiebreak)."""
+    import math
+
+    from big_data_analytics_mini_projects_spark.functions.hashing import h64_py
+    from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+    from big_data_analytics_mini_projects_spark.plans.corpusq import WRS_K
+    from big_data_analytics_mini_projects_spark.sources.tables import load_table
+
+    docs = [
+        (r["doc_id"], r["n_chars"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    ]
+    keyed = sorted(
+        (
+            (-(math.log((h64_py(d, "wrs") + 1) / float(1 << 60)) / w), d)
+            for d, w in docs
+        ),
+    )[:WRS_K]
+    expect = {d for _, d in keyed}
+    got = {
+        r["doc_id"]
+        for r in QUERIES["sample_weighted_reservoir"].build(spark, sf_dir).collect()
+    }
+    assert got == expect
