@@ -41,6 +41,7 @@ from . import pipelineq  # noqa: F401  (incremental dedup, k-means step, funnel,
 from . import graphq  # noqa: F401  (PageRank over the trade graph; new round 2)
 from . import corpusq  # noqa: F401  (bigram LM, SCD2, weighted reservoir, int8 quantize; new round 2)
 from . import core  # noqa: F401  (relational / TPC-H / JSON / window; red fix first)
+from . import qaq  # noqa: F401  (PMI collocations, chi-square drift; after core so the red fix keeps its window slot)
 from . import statsq  # noqa: F401  (per-word OLS hypothesis testing)
 from . import recommendq  # noqa: F401  (item-item CF similarity + prediction)
 from . import samplingq  # noqa: F401  (samplers / welford / hourly windows)

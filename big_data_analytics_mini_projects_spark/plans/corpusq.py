@@ -1,7 +1,10 @@
 """Corpus/warehouse extensions (beyond-reference; extends SURVEY.md §7.4.7):
 bigram language-model counts, SCD2 interval construction, weighted reservoir
-sampling, and int8 embedding quantization — four shapes a training-data
-pipeline runs at 100 TB that the earlier modules don't cover.
+sampling, int8 embedding quantization, Bloom-filter join pruning, per-label
+z-score normalization, and key-skew profiling — shapes a training-data
+pipeline runs at 100 TB that the earlier modules don't cover. (The two
+late-round QA twins, PMI collocations and chi-square drift, live in
+plans/qaq.py for driver-window ordering reasons.)
 
 Scale notes per query:
 - `bigram_lm_successors`: pair generation is a per-row array transform

@@ -1,0 +1,148 @@
+"""Corpus QA operators (beyond-reference): collocation mining (PMI) and
+between-shard distribution drift (chi-square) — the ingest-quality gates a
+training-data pipeline runs per batch.
+
+Registered AFTER plans/core.py on purpose: these two landed late in round 2,
+and the driver verifies ~50 catalog entries per round — the round-1 red fix
+in core (project_json_events) takes the window slot; these are locally
+verified at sf0.01 (tests/test_catalog_oracle.py) and queue for the next
+round's driver window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table, spread
+from .registry import register
+
+PMI_MIN_PAIR = 5  # pair-count floor: rare pairs have unstable PMI
+PMI_TOPK = 30
+
+
+@register(
+    "pmi_word_pairs",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '') AS t FROM documents), "
+        "pairs AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN "
+        "list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1])) "
+        "ELSE []::STRUCT(w1 VARCHAR, w2 VARCHAR)[] END) AS pr FROM toks), "
+        "bi AS (SELECT pr.w1 AS w1, pr.w2 AS w2, COUNT(*) AS c12 "
+        "FROM pairs GROUP BY 1, 2), "
+        "uni AS (SELECT pr.w1 AS w, COUNT(*) AS c FROM pairs GROUP BY 1), "
+        "n AS (SELECT SUM(c12) AS n FROM bi), "
+        f"scored AS (SELECT bi.w1, bi.w2, bi.c12, u1.c AS c1, u2.c AS c2, "
+        "ln(bi.c12 * (SELECT n FROM n) / (u1.c * u2.c)) AS pmi "
+        "FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w "
+        f"WHERE bi.c12 >= {PMI_MIN_PAIR}) "
+        "SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, round(pmi, 4) AS pmi "
+        "FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn "
+        f"FROM scored) WHERE rn <= {PMI_TOPK}"
+    ),
+    doc="Pointwise mutual information over adjacent word pairs — the corpus "
+    "collocation detector (phrase mining / tokenizer-merge candidates): "
+    "PMI = ln(c12*N / (c1*c2)) from the bigram table joined twice against "
+    "the unigram-head counts (both aggregates reuse the zero-shuffle pair "
+    "generation), pair-count floor against unstable rare-pair PMI, top-30 "
+    "by (pmi, w1, w2) — ties and near-ties break on exact strings after a "
+    "4-decimal-stable score (beyond-reference training-data op).",
+    tags=("bigram", "text_analysis", "topk"),
+)
+def pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = spread(docs).select(
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("t")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+                "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
+            )
+        ).alias("pr")
+    ).select("pr.w1", "pr.w2").persist()
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).filter(
+        F.col("c12") >= PMI_MIN_PAIR
+    )
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c"))
+    n = pairs.agg(F.count(F.lit(1)).alias("n"))
+    # Unigram counts are vocabulary-scale -> unhinted joins (AQE decides);
+    # N is a 1-row broadcast scalar.
+    scored = (
+        bi.join(uni.select(F.col("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w1").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi", F.log(F.col("c12") * F.col("n") / (F.col("c1") * F.col("c2")))
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOPK)
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
+                F.round("pmi", 4).alias("pmi"))
+    )
+
+
+@register(
+    "label_drift_chi2",
+    oracle=(
+        "WITH s AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'shard_a' ELSE "
+        "'shard_b' END AS shard, lang, COUNT(*) AS c FROM documents "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT SUM(c) AS n FROM s), "
+        "rowt AS (SELECT shard, SUM(c) AS rc FROM s GROUP BY shard), "
+        "colt AS (SELECT lang, SUM(c) AS cc FROM s GROUP BY lang), "
+        "cells AS (SELECT s.shard, s.lang, s.c, "
+        "rowt.rc * colt.cc / (SELECT n FROM tot) AS expected "
+        "FROM s JOIN rowt USING (shard) JOIN colt USING (lang)) "
+        "SELECT lang, "
+        "CAST(SUM(CASE WHEN shard = 'shard_a' THEN c ELSE 0 END) AS BIGINT) "
+        "AS n_a, "
+        "CAST(SUM(CASE WHEN shard = 'shard_b' THEN c ELSE 0 END) AS BIGINT) "
+        "AS n_b, "
+        "round(SUM(pow(c - expected, 2) / expected), 4) AS chi2_contrib "
+        "FROM cells GROUP BY lang"
+    ),
+    doc="Distribution-drift detector between two corpus shards (here the "
+    "deterministic doc_id parity split): the chi-square contingency "
+    "statistic of the lang distribution, reported per label so the drifting "
+    "class is identifiable (sum of chi2_contrib = the test statistic; "
+    "compare against the chi2 critical value offline). Expected counts come "
+    "from the margins in one pass over the (shard, lang) cells — the "
+    "ingest-QA gate that catches a bad shard before it trains "
+    "(beyond-reference training-data op).",
+    tags=("quality", "agg_count_by_key"),
+)
+def label_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    s = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "shard_a").otherwise("shard_b").alias(
+            "shard"
+        ),
+        "lang",
+    ).groupBy("shard", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # The cell table is bounded at |shards| x |langs| rows: margins and the
+    # grand total are broadcast scalars over it.
+    tot = s.agg(F.sum("c").alias("n"))
+    rowt = s.groupBy("shard").agg(F.sum("c").alias("rc"))
+    colt = s.groupBy("lang").agg(F.sum("c").alias("cc"))
+    cells = (
+        s.join(F.broadcast(rowt), "shard")
+        .join(F.broadcast(colt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("expected", F.col("rc") * F.col("cc") / F.col("n"))
+    )
+    return cells.groupBy("lang").agg(
+        F.sum(F.when(F.col("shard") == "shard_a", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("shard") == "shard_b", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.round(
+            F.sum(F.pow(F.col("c") - F.col("expected"), 2) / F.col("expected")), 4
+        ).alias("chi2_contrib"),
+    )

@@ -34,6 +34,8 @@ BNLJ_OK = {
     # 1-row corpus-stats / bounded-K broadcast cross joins:
     "tfidf_top_terms",      # n_docs scalar
     "bm25_top_terms",       # (n_docs, avgdl) scalar
+    "pmi_word_pairs",       # total-pair-count scalar
+    "label_drift_chi2",     # contingency grand-total scalar
     "funnel_conversion",    # three stage-count scalars
     "kmeans_lloyd_step",    # K=8 centroid frame
     "ols_simple_words",     # dense docs x top-K word frame (broadcast-bounded)
