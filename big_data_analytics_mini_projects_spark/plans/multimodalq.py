@@ -173,6 +173,42 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_scd2_intervals",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_id, ts_us, event_type, "
+        "CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type "
+        "THEN 1 ELSE 0 END AS chg FROM ("
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type "
+        "FROM events) WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id)), "
+        "isl AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS island FROM o), "
+        "runs AS (SELECT user_id, island, MIN(event_type) AS event_type, "
+        "MIN(ts_us) AS from_us, COUNT(*) AS n_rows "
+        "FROM isl GROUP BY user_id, island), "
+        "iv AS (SELECT user_id, CAST(island AS BIGINT) AS seq, event_type, "
+        "from_us, lead(from_us) OVER (PARTITION BY user_id ORDER BY island) "
+        "- 1 AS to_us, CAST(n_rows AS BIGINT) AS n_rows FROM runs) "
+        # the open tail run stays in streaming state and is never emitted
+        "SELECT * FROM iv WHERE to_us IS NOT NULL"
+    ),
+    doc="Streaming SCD2 (applyInPandasWithState, append mode): per-user the "
+    "open run lives in (string, 3 longs) state; closed [from, to] intervals "
+    "are emitted immutably as micro-batches arrive — the streaming twin of "
+    "scd2_user_event_intervals, oracle-checked against the batch "
+    "gaps-and-islands SQL restricted to closed intervals.",
+    tags=("streaming", "stateful", "scd2"),
+    bench=False,
+)
+def streaming_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_stats import stream_scd2_intervals
+
+    return run_available_now(
+        stream_scd2_intervals(events_stream(spark, sf_dir)), output_mode="append"
+    )
+
+
+@register(
     "streaming_interval_join",
     oracle=(
         "SELECT p.event_id AS purchase_id, v.event_id AS view_id "

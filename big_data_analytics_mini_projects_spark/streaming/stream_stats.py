@@ -201,3 +201,82 @@ def stream_dedup_doubled(events: DataFrame, watermark: str = "2 hours") -> DataF
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
+
+
+def stream_scd2_intervals(events: DataFrame) -> DataFrame:
+    """Streaming SCD2: the gaps-and-islands interval build (plans/corpusq.
+    scd2_user_event_intervals) as a custom stateful operator — per user the
+    state is ONE open run (current event_type, its start, row count, next
+    seq); each micro-batch extends or closes runs and emits only the CLOSED
+    intervals (append semantics: an emitted interval is immutable, exactly
+    what a warehouse SCD2 sink wants).
+
+    Scale/determinism engineering:
+    - state per key is (string, 3 longs) — grows with distinct users, not
+      events; run-length encoding inside the batch is vectorized numpy over
+      the Arrow batch, not a per-row Python loop;
+    - rows are processed in (ts_us, event_id) order inside each batch, so
+      results equal the batch twin whenever batches respect event-time
+      order per key (with availableNow over one file: exactly one batch);
+    - the open tail run stays in state and is never emitted — the batch
+      twin's to_us = -1 rows — asserted in tests/test_streaming.py.
+    """
+    import pandas as pd  # local: Arrow path only materializes on executors
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out_cols = ("user_id", "seq", "event_type", "from_us", "to_us", "n_rows")
+        if len(batch) == 0:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = batch["ts_us"].to_numpy(dtype="int64")
+        et = batch["event_type"].to_numpy(dtype=object)
+        if state.exists:
+            cur, start, n_open, seq = state.get
+            ts = np.concatenate([np.array([start], dtype="int64"), ts])
+            et = np.concatenate([np.array([cur], dtype=object), et])
+            carried = n_open - 1  # the injected row stands in for n_open rows
+        else:
+            seq, carried = 1, 0
+        # Run-length encode: starts of each run of equal event_type.
+        change = np.flatnonzero(et[1:] != et[:-1]) + 1
+        starts = np.concatenate([np.array([0]), change])
+        lengths = np.diff(np.concatenate([starts, [len(et)]]))
+        lengths[0] += carried
+        n_closed = len(starts) - 1
+        closed = pd.DataFrame(
+            {
+                "user_id": np.full(n_closed, key[0], dtype="int64"),
+                "seq": np.arange(seq, seq + n_closed, dtype="int64"),
+                "event_type": et[starts[:-1]],
+                "from_us": ts[starts[:-1]],
+                "to_us": ts[starts[1:]] - 1,
+                "n_rows": lengths[:-1].astype("int64"),
+            }
+        )
+        state.update(
+            (
+                str(et[starts[-1]]),
+                int(ts[starts[-1]]),
+                int(lengths[-1]),
+                int(seq + n_closed),
+            )
+        )
+        yield closed
+
+    return (
+        events.select("user_id", "event_id", "ts_us", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, seq long, event_type string, from_us long, "
+            "to_us long, n_rows long",
+            "cur string, start long, n_open long, seq long",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -117,3 +117,22 @@ def test_stateful_user_stats_across_microbatches(spark, sf_dir, tmp_path):
     got = {r["user_id"]: (r["n"], r["total_cents"]) for r in final.collect()}
     exp = {r["user_id"]: (r["n"], r["total_cents"]) for r in want.collect()}
     assert got == exp
+
+
+def test_stream_scd2_equals_batch_closed_intervals(spark, sf_dir):
+    """The streaming SCD2 operator must emit exactly the batch twin's CLOSED
+    intervals (to_us != -1); the open tail run stays in state unemitted."""
+    from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+
+    got = {
+        tuple(r)
+        for r in QUERIES["streaming_scd2_intervals"].build(spark, sf_dir).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in QUERIES["scd2_user_event_intervals"]
+        .build(spark, sf_dir)
+        .collect()
+        if r["to_us"] != -1
+    }
+    assert got == batch
