@@ -258,3 +258,113 @@ def sample_frames(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sig": sigs})
 
     return df.select("doc_id", "payload").mapInPandas(kernel, FRAMES_SCHEMA)
+
+
+PNG_SCHEMA = "doc_id long, width long, height long, px_sum long"
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return 3 + doc_id % 5, 2 + doc_id % 4
+
+
+def _png_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    return (
+        (doc_id * 5 + x * 11 + y) % 256,
+        (doc_id + x + y * 13) % 256,
+        (doc_id * 3 + x * y) % 256,
+    )
+
+
+def synth_png_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a REAL zlib-compressed 8-bit RGB PNG per doc —
+    signature + IHDR + IDAT (deflate of filter-0 scanlines) + IEND with
+    CRC32s, stdlib struct+zlib only. Unlike the BMP twin this is an actual
+    COMPRESSED container: the decoder must inflate to reach the pixels."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _png_dims(d)
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+                raw = b"".join(
+                    b"\x00"  # filter type 0 per scanline
+                    + bytes(
+                        c for x in range(w) for c in _png_pixel(d, x, y)
+                    )
+                    for y in range(h)
+                )
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, "doc_id long, payload binary")
+
+
+def decode_png_stats(df: DataFrame) -> DataFrame:
+    """REAL compressed-image decode — walks the chunk stream, reads IHDR,
+    inflates the concatenated IDAT data with stdlib zlib, strips the
+    per-scanline filter bytes (type 0 enforced), and aggregates the RGB sum.
+    The compression makes this the strongest of the three codec round trips:
+    byte offsets into the payload are useless until inflate succeeds."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+                off, w = 8, 0
+                h = 0
+                idat = b""
+                while off < len(raw):
+                    (ln,) = struct.unpack_from(">I", raw, off)
+                    tag = raw[off + 4 : off + 8]
+                    body = raw[off + 8 : off + 8 + ln]
+                    if tag == b"IHDR":
+                        w, h, depth, ctype = struct.unpack_from(">IIBB", body)
+                        assert depth == 8 and ctype == 2
+                    elif tag == b"IDAT":
+                        idat += body
+                    off += 12 + ln
+                scan = zlib.decompress(idat)
+                stride = 1 + w * 3
+                total = 0
+                for y in range(h):
+                    row = scan[y * stride : (y + 1) * stride]
+                    assert row[0] == 0  # filter type 0
+                    total += sum(row[1:])
+                ws.append(w)
+                hs.append(h)
+                sums.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": ws,
+                    "height": hs,
+                    "px_sum": sums,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, PNG_SCHEMA)

@@ -1,19 +1,20 @@
-"""Corpus QA operators (beyond-reference): collocation mining (PMI) and
-between-shard distribution drift (chi-square) — the ingest-quality gates a
-training-data pipeline runs per batch.
+"""Late-round registrations: corpus QA (PMI collocations, chi-square drift),
+the PNG codec round trip, and streaming session windows.
 
 Registered AFTER plans/core.py on purpose: these two landed late in round 2,
 and the driver verifies ~50 catalog entries per round — the round-1 red fix
-in core (project_json_events) takes the window slot; these are locally
-verified at sf0.01 (tests/test_catalog_oracle.py) and queue for the next
-round's driver window.
+in core (project_json_events) takes the window slot; everything here is
+locally verified at sf0.01 (tests/test_catalog_oracle.py) and queues for
+the next round's driver window.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.multimodal import decode_png_stats, synth_png_payloads
 from ..sources.tables import load_table, spread
+from ..streaming.stream_stats import events_stream, run_available_now
 from .registry import register
 
 PMI_MIN_PAIR = 5  # pair-count floor: rare pairs have unstable PMI
@@ -146,3 +147,69 @@ def label_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.pow(F.col("c") - F.col("expected"), 2) / F.col("expected")), 4
         ).alias("chi2_contrib"),
     )
+
+
+@register(
+    "multimodal_png_decode",
+    oracle=(
+        "SELECT doc_id, CAST(3 + doc_id % 5 AS BIGINT) AS width, "
+        "CAST(2 + doc_id % 4 AS BIGINT) AS height, "
+        "CAST(list_sum(list_transform(range(2 + doc_id % 4), y -> "
+        "list_sum(list_transform(range(3 + doc_id % 5), x -> "
+        "(doc_id * 5 + x * 11 + y) % 256 + (doc_id + x + y * 13) % 256 "
+        "+ (doc_id * 3 + x * y) % 256)))) AS BIGINT) AS px_sum FROM documents"
+    ),
+    doc="REAL COMPRESSED image codec round trip, stdlib only: per doc a "
+    "genuine 8-bit RGB PNG (signature, IHDR, zlib-deflated filter-0 "
+    "scanlines in IDAT, CRC32-checked chunks) written into the binary "
+    "column, then decoded by walking the chunk stream and INFLATING the "
+    "pixel data — unlike the BMP twin, byte offsets are useless until "
+    "decompression succeeds, so the oracle's closed-form check proves a "
+    "real compression round trip.",
+    tags=("multimodal",),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_png_stats(synth_png_payloads(docs))
+
+
+@register(
+    "streaming_session_windows",
+    oracle=(
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events), "
+        "o AS (SELECT user_id, t, value, CASE WHEN lag(t) OVER w IS NULL "
+        "OR t - lag(t) OVER w >= 600000000 THEN 1 ELSE 0 END AS brk "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), "
+        "s AS (SELECT user_id, t, value, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, MIN(t) AS session_start_us, "
+        "MAX(t) + 600000000 AS session_end_us, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM s GROUP BY user_id, sid"
+    ),
+    doc="Streaming session windows: the batch session_windows_users query "
+    "run as a real streaming aggregation (watermark + session_window, "
+    "availableNow) — dynamic-length event-time sessions whose state merges "
+    "adjacent windows as rows arrive; at 100 TB/day the watermark is what "
+    "lets Spark drop closed-session state. Oracle = the identical "
+    "gaps-and-islands SQL as the batch twin.",
+    tags=("streaming", "window"),
+    bench=False,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import dsum
+
+    ev = events_stream(spark, sf_dir)
+    sw = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window(F.col("ts"), "600 seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(sw)

@@ -29,6 +29,7 @@ MAP_IN_PANDAS_OK = {
     "multimodal_frames",
     "multimodal_wav_decode",  # real stdlib WAV codec round trip
     "multimodal_bmp_decode",  # real stdlib BMP codec round trip
+    "multimodal_png_decode",  # real stdlib zlib-compressed PNG round trip
 }
 BNLJ_OK = {
     # 1-row corpus-stats / bounded-K broadcast cross joins:
