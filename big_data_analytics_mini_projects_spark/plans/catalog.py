@@ -6,17 +6,23 @@ exactly this catalog to the verification driver.
 
 REGISTRATION ORDER MATTERS: the correctness driver verifies roughly the FIRST
 50 catalog entries per round (registration order == import order below, then
-decorator order within a module). Round 1 verified entries 1-50 and left
-entries 51-76 (multimodal/streaming, sources, sketches, relationalx) without a
-driver verdict. Modules are therefore ordered so queries still needing a green
-CORRECTNESS row register first:
+decorator order within a module). Round 2 verified positions 1-50 (all green,
+CORRECTNESS_r02.json); the round-3 goal is that the union of rounds 1-3 has a
+full-hash green row for every declared query on its CURRENT implementation.
+Ordering for round 3:
 
-  1. never-driver-checked modules (multimodalq, sourcesq, sketchq, relationalx);
-  2. modules containing round-1 hash-fail oracles being re-verified
-     (textanalysisq: lang_id_ngram/token_counts_by_source/corpus_prep_pipeline;
-     core: project_json_events) and any newly added queries (mlq);
-  3. modules already fully green in round 1 (fill the remaining window slots —
-     harmless to re-verify, safe to fall outside the window).
+  1. the 5 queries that have never received a driver verdict (qaq: positions
+     61-65 in round 2 — pmi_word_pairs, label_drift_chi2,
+     multimodal_png_decode, streaming_session_windows, range_overlap_sessions);
+  2. modules REWRITTEN in round 2 whose green rows predate the rewrite
+     (statsq: OLS closed forms 33e4f5f; recommendq: broadcast size-guards
+     d208ecf; samplingq: sampler top-k rewrite 137d20d) plus every query
+     added or changed in round 3 (statsq: ols_words_pvalues closed-form
+     oracle; recommendq: cf_predict_ratings_k50; vectorq:
+     dedup_embedding_bucketed; similarityq: CC two-phase variant);
+  3. window fill: modules whose verdicts are round-1 but unchanged since
+     (core 51-60, textq, linalgq) — harmless to re-verify, safe to truncate;
+  4. modules fully green in round 2 on current code, registered last.
 
 When adding a module/query, slot it BEFORE the already-green block so it gets
 driver coverage in its first round.
@@ -25,29 +31,29 @@ driver coverage in its first round.
 from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
 # Each import populates the registry via @register side effects.
-# -- tier 1: no driver verdict yet (round-1 catalog positions 51-76) --
+# -- tier 1: never driver-checked (round-2 positions 61-65) --
+from . import qaq  # noqa: F401  (PMI, chi-square drift, PNG codec, session windows, range overlap)
+
+# -- tier 2: rewritten-in-round-2 modules (driver rows predate the rewrite)
+#    plus all round-3 additions --
+from . import statsq  # noqa: F401  (OLS closed forms; round-3: closed-form p-value oracle)
+from . import recommendq  # noqa: F401  (CF similarity + prediction; round-3: k=50 cap)
+from . import samplingq  # noqa: F401  (samplers / welford / hourly windows; r2 top-k rewrite)
+from . import vectorq  # noqa: F401  (embedding ANN; round-3: banded SRP bucketed dedup)
+from . import similarityq  # noqa: F401  (minhash / LSH / dedup; round-3: two-phase CC)
+
+# -- tier 3: window fill — verdicts are round-1 but code unchanged since --
+from . import core  # noqa: F401  (relational / TPC-H / JSON / window)
+from . import textq  # noqa: F401  (tokenizers / word count / set ops / mean-chars)
+from . import linalgq  # noqa: F401  (COO matmul)
+
+# -- tier 4: fully green in round 2 on current code --
 from . import multimodalq  # noqa: F401  (multimodal decode plumbing + streaming)
 from . import sourcesq  # noqa: F401  (CSV / JSON-lines ingestion round trips, sorted sink)
 from . import sketchq  # noqa: F401  (HLL distinct / Count-Min heavy hitters)
 from . import relationalx  # noqa: F401  (rollup/cube, Q5 multi-join, range join, frames, quantiles)
-
-# -- tier 2: round-1 hash-fail oracles (HUGEINT casts fixed) + new queries,
-#    then modules whose implementation changed this round (OLS closed forms,
-#    CF broadcast guards, sampler top-k rewrite) so the driver re-verifies
-#    as many changed queries as the window allows --
 from . import textanalysisq  # noqa: F401  (lang-id / quality / tokens / fingerprints)
-from . import mlq  # noqa: F401  (momentum-GD linear regression, MLlib equivalence)
+from . import mlq  # noqa: F401  (momentum-GD linear regression)
 from . import pipelineq  # noqa: F401  (incremental dedup, k-means step, funnel, BM25)
-from . import graphq  # noqa: F401  (PageRank over the trade graph; new round 2)
-from . import corpusq  # noqa: F401  (bigram LM, SCD2, weighted reservoir, int8 quantize; new round 2)
-from . import core  # noqa: F401  (relational / TPC-H / JSON / window; red fix first)
-from . import qaq  # noqa: F401  (PMI collocations, chi-square drift; after core so the red fix keeps its window slot)
-from . import statsq  # noqa: F401  (per-word OLS hypothesis testing)
-from . import recommendq  # noqa: F401  (item-item CF similarity + prediction)
-from . import samplingq  # noqa: F401  (samplers / welford / hourly windows)
-
-# -- tier 3: fully green in round 1, unchanged --
-from . import textq  # noqa: F401  (tokenizers / word count / set ops / mean-chars)
-from . import linalgq  # noqa: F401  (COO matmul)
-from . import similarityq  # noqa: F401  (minhash / LSH / dedup suite)
-from . import vectorq  # noqa: F401  (embedding ANN / cosine dedup)
+from . import graphq  # noqa: F401  (PageRank over the trade graph)
+from . import corpusq  # noqa: F401  (bigram LM, SCD2, weighted reservoir, int8 quantize)
