@@ -47,6 +47,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.stats_math import t_sf
+from ..functions.tdist import with_two_sided_t_pvalue
 
 SIMPLE_SCHEMA = (
     "word string, n long, beta double, t_stat double, p_value double, p_bonf double"
@@ -88,11 +89,18 @@ def _two_sided_p(t: Column, df: Column) -> Column:
 
 def ols_simple_closed(
     obs: DataFrame, group_col: str = "word", x_col: str = "x", y_col: str = "y",
-    bonferroni_k: int | None = None,
+    bonferroni_k: int | None = None, p_method: str = "udf",
 ) -> DataFrame:
     """Per-group standardized simple OLS + t-test from sufficient statistics:
     β = Pearson r, t = r·sqrt((n-2)/(1-r²)) (a3_p1.py:71-96 semantics, one
-    partial-agg shuffle, no grouped collect)."""
+    partial-agg shuffle, no grouped collect).
+
+    ``p_method``: "udf" (default) = vectorized pandas-UDF continued fraction,
+    O(1) in df — the unbounded-corpus path; "series" = the closed-form
+    integer-df expansion (functions/tdist.py), pure JVM expressions AND
+    oracle-checkable via the identically-structured DuckDB recursive CTE —
+    the declared differential query uses this.
+    """
     x, y = F.col(x_col), F.col(y_col)
     s = obs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
@@ -106,13 +114,13 @@ def ols_simple_closed(
     r = _pearson(n, F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx"), F.col("syy"))
     t = r * F.sqrt((n - 2) / (1 - r * r))
     k = float(bonferroni_k or 1)
-    out = s.select(
-        group_col,
-        "n",
-        r.alias("beta"),
-        t.alias("t_stat"),
-        _two_sided_p(t, n - 2).alias("p_value"),
-    )
+    base = s.select(group_col, "n", r.alias("beta"), t.alias("t_stat"))
+    if p_method == "series":
+        out = with_two_sided_t_pvalue(base, "t_stat", F.col("n") - 2, "p_value")
+    else:
+        out = base.withColumn(
+            "p_value", _two_sided_p(F.col("t_stat"), F.col("n").cast("double") - 2)
+        )
     return out.withColumn("p_bonf", F.least(F.lit(1.0), F.col("p_value") * k))
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.tdist import sql_t_pvalue_ctes
 from ..functions.text import A3_TOKEN_PATTERN_SQL, tokenize_regex
 from ..operators.stats import ols_multi_closed, ols_simple_closed
 from ..sources.tables import load_table, spread
@@ -146,21 +147,54 @@ def ols_multi_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_dsum12(expr: str) -> str:
+    """Mirror of operators/stats._dsum: exact decimal(38,12) sum -> double."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+
+
+#: Sufficient statistics + fit mirroring ols_simple_closed expression for
+#: expression (decimal sums, the _pearson formula, the t formula), so beta
+#: and t_stat are engine-identical doubles before any rounding.
+_SQL_SIMPLE_FIT = (
+    "fs AS (SELECT word, COUNT(*) AS n, "
+    f"{_sql_dsum12('x')} AS sx, {_sql_dsum12('y')} AS sy, "
+    f"{_sql_dsum12('x * y')} AS sxy, {_sql_dsum12('x * x')} AS sxx, "
+    f"{_sql_dsum12('y * y')} AS syy FROM dense GROUP BY word), "
+    "fit AS (SELECT word, n, "
+    "(CAST(n AS DOUBLE) * sxy - sx * sy) / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) "
+    "* (CAST(n AS DOUBLE) * syy - sy * sy)) AS r FROM fs), "
+    "fitf AS (SELECT word, n, r, "
+    "r * sqrt((CAST(n AS DOUBLE) - 2) / (1 - r * r)) AS t_stat FROM fit "
+    "WHERE r IS NOT NULL AND NOT isnan(r) AND abs(r) < 1)"
+)
+
+
 @register(
     "ols_words_pvalues",
-    oracle=None,  # t-distribution sf is not SQL-expressible; rows-only check +
-    # golden-value unit tests in tests/test_stats.py
+    oracle=(
+        f"WITH RECURSIVE {_SQL_DENSE}, {_SQL_SIMPLE_FIT}, "
+        + sql_t_pvalue_ctes("fitf", "t_stat", "n - 2", "word")
+        + " SELECT word, n, round(r, 4) AS beta, round(t_stat, 4) AS t_stat, "
+        "round(p_value, 6) AS p_value, "
+        f"round(least(1.0, p_value * {TOP_K}), 6) AS p_bonf "
+        "FROM fitf_p "
+        "ORDER BY round(r, 4) DESC, word ASC LIMIT 20"
+    ),
     doc="Full reference output shape: β, two-sided p, Bonferroni-corrected p "
     "(×K, a3_p1.py:94-96) per word, top-20 by β with tiebreak — the engine "
-    "twin of a3_p1's pos_corr list; p-values via the vectorized t_sf pandas "
-    "UDF over the K aggregated rows.",
+    "twin of a3_p1's pos_corr list. p-values via the closed-form integer-df "
+    "t expansion (functions/tdist.py): a pure-JVM sequential fold whose "
+    "DuckDB oracle runs the IDENTICAL recurrence in a recursive CTE — the "
+    "p column is hash-pinned, no Python anywhere in the plan.",
     tags=("ols_simple", "topk"),
 )
 def ols_words_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = word_observations(spark, sf_dir)
-    fit = ols_simple_closed(obs, "word", "x", "y", bonferroni_k=TOP_K)
+    fit = ols_simple_closed(obs, "word", "x", "y", bonferroni_k=TOP_K, p_method="series")
     return (
-        fit.filter(~F.isnan("beta"))
+        fit.filter(
+            ~F.isnan("beta") & F.col("beta").isNotNull() & (F.abs(F.col("beta")) < 1)
+        )
         .select(
             "word",
             "n",

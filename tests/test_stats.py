@@ -97,3 +97,26 @@ def test_ols_closed_matches_grouped_multi(spark):
     for g in a:
         for col in ("n", "beta", "beta_ctrl", "t_stat", "p_value", "p_bonf"):
             assert abs(a[g][col] - b[g][col]) < 1e-8, (g, col, a[g][col], b[g][col])
+
+
+def test_t_pvalue_series_matches_betainc(spark):
+    """The closed-form integer-df series (functions/tdist.py — the
+    oracle-checkable path of ols_words_pvalues) agrees with the continued-
+    fraction t_sf across parities, tiny and large df, and both t signs."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_mini_projects_spark.functions.tdist import (
+        with_two_sided_t_pvalue,
+    )
+
+    rows = [
+        (float(t), int(df))
+        for t in (0.0, 0.17, 0.5, 1.0, 2.33, 4.5, 7.9, -3.2)
+        for df in (1, 2, 3, 4, 5, 10, 49, 100, 498, 997)
+    ]
+    frame = spark.createDataFrame(rows, "t double, df long")
+    out = with_two_sided_t_pvalue(frame, "t", F.col("df"), "p").collect()
+    assert len(out) == len(rows)
+    for r in out:
+        expected = 2.0 * t_sf(abs(r["t"]), float(r["df"]))
+        assert abs(r["p"] - expected) < 1e-11, (r["t"], r["df"], r["p"], expected)
