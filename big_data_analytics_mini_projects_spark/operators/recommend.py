@@ -33,7 +33,7 @@ shuffle on (item_a, item_b). Target restriction pushes into the left side
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def cf_filter_ratings(
@@ -115,15 +115,33 @@ def cf_item_similarities(
     )
 
 
-def cf_predict(rf: DataFrame, sims: DataFrame, quantize: int | None = 4) -> DataFrame:
+def cf_predict(
+    rf: DataFrame, sims: DataFrame, quantize: int | None = 4, k: int | None = None
+) -> DataFrame:
     """Weighted-average predictions for every (target, user) with >=2 overlap.
 
     ``sims`` is the output of :func:`cf_item_similarities` (directed:
     item_a = target). With ``quantize`` the weights become scaled integers so
     the sums are exact (the declared-query mode); ``None`` keeps full-precision
     doubles (reference-parity mode, tested with tolerance).
+
+    ``k`` caps each target's neighborhood to its k most-similar items before
+    the weighted sum — the spec's "Use 50 neighbors"
+    (Assignment 3 Description.htm:90); the reference CODE applies no cap
+    (a3_p2.py:52-65), which is ``k=None``. Ranking is (sim desc, item_b asc);
+    similarities are engine-stable doubles (integer sufficient statistics),
+    so the cutoff is deterministic cross-engine. The rank is a bounded
+    window per target — at scale each target holds at most its candidate
+    items, already filtered to >=2 common users and sim > 0.
     Returns (target, user_id, pred).
     """
+    if k is not None:
+        wr = Window.partitionBy("item_a").orderBy(F.desc("sim"), F.asc("item_b"))
+        sims = (
+            sims.withColumn("_rk", F.row_number().over(wr))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
     if quantize is not None:
         scale = 10 ** quantize
         w = F.round(F.col("sim") * scale, 0).cast("long")
@@ -145,11 +163,20 @@ def cf_predict(rf: DataFrame, sims: DataFrame, quantize: int | None = 4) -> Data
     actual = rf.select(
         F.col("item").alias("target"), "user_id", F.col("rating").alias("actual")
     ).join(sw.select("target").distinct(), "target", "left_semi")
-    pred = F.coalesce(
-        F.col("actual").cast("double"), F.col("num").cast("double") / F.col("den")
-    )
+    if quantize is not None:
+        # num and den are exact integers (quantized weights x integer
+        # ratings), so round(num/den, 4) can be done entirely in integer
+        # arithmetic: half-up(v*1e4) = (2*num*1e4 + den) div (2*den) for
+        # v = num/den > 0. This sidesteps the engine-divergent double
+        # rounding edge (Spark rounds the shortest-decimal rendering of the
+        # double, DuckDB the binary value — they disagree when num/den lands
+        # within 1 ulp of a .00005 boundary, observed at sf0.01 with k=50).
+        pred_w = F.expr("(num * 20000 + den) div (den * 2)").cast("double") / 10000.0
+    else:
+        pred_w = F.round(F.col("num").cast("double") / F.col("den"), 4)
+    pred = F.coalesce(F.col("actual").cast("double"), pred_w)
     return (
         ov.join(actual, ["target", "user_id"], "left")
-        .select("target", "user_id", F.round(pred, 4).alias("pred"))
+        .select("target", "user_id", pred.alias("pred"))
         .filter(F.col("pred") > 0)
     )

@@ -74,24 +74,34 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.select("item_a", "item_b", "nc", F.round("sim", 4).alias("sim"))
 
 
-@register(
-    "cf_predict_ratings",
-    oracle=(
-        f"WITH {_SQL_FILTERED}, {_sql_sims(PRED_TARGETS)}, "
-        "sw AS (SELECT item_a AS target, item_b AS item, "
-        "CAST(round(sim * 10000) AS BIGINT) AS w FROM simsf "
+def _sql_predict(sims_cte: str) -> str:
+    """Prediction tail (mirrors operators/recommend.cf_predict with
+    quantize=4) reading similarities from ``sims_cte``."""
+    return (
+        f"sw AS (SELECT item_a AS target, item_b AS item, "
+        f"CAST(round(sim * 10000) AS BIGINT) AS w FROM {sims_cte} "
         "WHERE CAST(round(sim * 10000) AS BIGINT) > 0), "
         "ov AS (SELECT target, user_id, COUNT(*) AS n_ov, "
         "SUM(rating * w) AS num, SUM(w) AS den "
         "FROM rf JOIN sw USING (item) GROUP BY target, user_id), "
         "actual AS (SELECT item AS target, user_id, rating FROM rf "
         "WHERE item IN (SELECT target FROM sw)) "
+        # round(num/den, 4) in exact integer arithmetic — num and den are
+        # exact integers, and rounding the double quotient is engine-
+        # divergent within 1 ulp of a .00005 boundary (see cf_predict).
         "SELECT o.target, o.user_id, "
-        "round(COALESCE(CAST(a.rating AS DOUBLE), CAST(num AS DOUBLE) / den), 4) AS pred "
+        "COALESCE(CAST(a.rating AS DOUBLE), "
+        "CAST((num * 20000 + den) // (den * 2) AS DOUBLE) / 10000.0) AS pred "
         "FROM ov o LEFT JOIN actual a ON o.target = a.target AND o.user_id = a.user_id "
         "WHERE n_ov >= 2 "
-        "AND round(COALESCE(CAST(a.rating AS DOUBLE), CAST(num AS DOUBLE) / den), 4) > 0"
-    ),
+        "AND COALESCE(CAST(a.rating AS DOUBLE), "
+        "CAST((num * 20000 + den) // (den * 2) AS DOUBLE) / 10000.0) > 0"
+    )
+
+
+@register(
+    "cf_predict_ratings",
+    oracle=f"WITH {_SQL_FILTERED}, {_sql_sims(PRED_TARGETS)}, {_sql_predict('simsf')}",
     doc="Weighted-average rating prediction for target items (cf_predict, "
     "a3_p2.py:52-65,76): actual rating passed through for users who rated "
     "the target; >=2 neighbor overlap required; 4-decimal-quantized weights "
@@ -102,3 +112,31 @@ def cf_predict_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf = _filtered_ratings(spark, sf_dir)
     sims = cf_item_similarities(rf, F.col("item_a") % PRED_TARGETS == 0)
     return cf_predict(rf, sims, quantize=4)
+
+
+NEIGHBOR_K = 50  # the spec's cap: Assignment 3 Description.htm:90 "Use 50 neighbors"
+
+
+@register(
+    "cf_predict_ratings_k50",
+    oracle=(
+        f"WITH {_SQL_FILTERED}, {_sql_sims(PRED_TARGETS)}, "
+        "simsk AS (SELECT item_a, item_b, nc, sim FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY item_a "
+        "ORDER BY sim DESC, item_b ASC) AS rk FROM simsf) "
+        f"WHERE rk <= {NEIGHBOR_K}), "
+        + _sql_predict("simsk")
+    ),
+    doc="cf_predict with the SPEC'd 50-neighbor cap (Assignment 3 "
+    "Description.htm:90 'Use 50 neighbors') the reference code omits "
+    "(a3_p2.py:52-65): each target's similarity vector is cut to its 50 "
+    "most-similar items (sim desc, item_b asc — engine-stable doubles) "
+    "before the weighted sum; at sf0.01 targets carry 75-198 neighbors, so "
+    "the cap changes real predictions. k=None (cf_predict_ratings) stays "
+    "the reference-code-parity query.",
+    tags=("cf_predict", "topk"),
+)
+def cf_predict_ratings_k50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rf = _filtered_ratings(spark, sf_dir)
+    sims = cf_item_similarities(rf, F.col("item_a") % PRED_TARGETS == 0)
+    return cf_predict(rf, sims, quantize=4, k=NEIGHBOR_K)

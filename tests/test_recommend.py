@@ -24,6 +24,9 @@ RATINGS = [
     ("u4", "B", 5), ("u4", "C", 3), ("u4", "D", 2),
     ("u5", "A", 3), ("u5", "B", 4), ("u5", "C", 5), ("u5", "D", 1),
     ("u6", "A", 2), ("u6", "D", 3),
+    # E tracks A over u1-u3 -> third positive-sim neighbor of A, so a k=2
+    # neighbor cap has something to drop (test_cf_predict_neighbor_cap)
+    ("u1", "E", 5), ("u2", "E", 4), ("u3", "E", 1),
 ]
 
 
@@ -85,3 +88,36 @@ def test_cf_predict_matches_reference_semantics(spark):
             num = sum(rated[i] * want_sims[i] for i in overlap)
             den = sum(want_sims[i] for i in overlap)
             assert preds[u] == pytest.approx(round(num / den, 4), abs=1e-4)
+
+
+def test_cf_predict_neighbor_cap(spark):
+    """k caps each target's neighborhood to the k most-similar items (the
+    spec's 'Use 50 neighbors'); k=None keeps reference-code behavior."""
+    rdf = spark.createDataFrame(RATINGS, "user_id string, item string, rating long")
+    rf = cf_filter_ratings(rdf, min_users_per_item=3, min_items_per_user=2)
+    sims = cf_item_similarities(rf, F.col("item_a") == "A")
+    want_sims = _ref_similarity("A")
+    assert len(want_sims) >= 3  # the k=2 cap below must actually drop items
+
+    # k=2 keeps only the 2 highest-sim neighbors (self-pair sim=1.0 included)
+    top2 = set(sorted(want_sims, key=lambda i: (-want_sims[i], i))[:2])
+    capped = {r["user_id"]: r["pred"] for r in cf_predict(rf, sims, quantize=None, k=2).collect()}
+    ratings_by_user: dict[str, dict[str, float]] = {}
+    for u, i, r in RATINGS:
+        ratings_by_user.setdefault(u, {})[i] = float(r)
+    for u, rated in ratings_by_user.items():
+        overlap = set(rated) & top2
+        if len(overlap) < 2:
+            assert u not in capped
+            continue
+        if "A" in rated:
+            assert capped[u] == pytest.approx(rated["A"], abs=1e-9)
+        else:
+            num = sum(rated[i] * want_sims[i] for i in overlap)
+            den = sum(want_sims[i] for i in overlap)
+            assert capped[u] == pytest.approx(round(num / den, 4), abs=1e-4)
+
+    # a cap larger than the candidate set is a no-op vs k=None
+    uncapped = {r["user_id"]: r["pred"] for r in cf_predict(rf, sims, quantize=None).collect()}
+    wide = {r["user_id"]: r["pred"] for r in cf_predict(rf, sims, quantize=None, k=100).collect()}
+    assert wide == uncapped
