@@ -6,6 +6,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is built fresh and fully materialized (count + light collect via
 ``foreach``-free ``write.format('noop')`` when available, else count) so the
 measured time covers scan -> shuffle -> result, not just plan construction.
+
+Each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) back to back;
+"queries"/"value" report the per-query MIN (stable across runs on a noisy
+host — round-2 measured +/-1.5x swings on identical code single-shot), and
+"queries_cold" keeps the first-run time (codegen/JIT + first-touch cost,
+comparable to the round-1/2 single-shot ledgers). Repeats share the
+session's persisted intermediates exactly like consecutive suite queries
+already do; set SPARK_GRAFT_BENCH_REPEATS=1 to reproduce the old behavior.
 """
 
 from __future__ import annotations
@@ -43,7 +51,9 @@ def main() -> None:
             # the affected queries will record their own failures below
             print(f"BENCH WARMUP SKIP {t}: {type(e).__name__}", file=sys.stderr)
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, spec in QUERIES.items():
         if not spec.bench:
@@ -52,12 +62,19 @@ def main() -> None:
         # share persisted intermediates (cf_predict reuses cf_item's ratings,
         # dedup_clusters reuses the LSH bands), mirroring a real pipeline
         # where stages consume one materialization.
-        t0 = time.perf_counter()
+        runs: list[float] = []
         try:
-            df = spec.build(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"BENCH {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                df = spec.build(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(runs)
+            cold[name] = runs[0]
+            print(
+                f"BENCH {name}: min {timings[name]:.3f}s of {runs}",
+                file=sys.stderr, flush=True,
+            )
         except Exception as e:  # keep benching; a failure shows as missing + stderr note
             failures[name] = f"{type(e).__name__}: {e}"
             print(f"BENCH FAIL {name}: {failures[name]}", file=sys.stderr, flush=True)
@@ -68,6 +85,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if failures:
