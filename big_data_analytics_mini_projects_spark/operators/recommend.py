@@ -59,7 +59,11 @@ def _mean(s: Column, n: Column) -> Column:
 
 
 def cf_item_similarities(
-    rf: DataFrame, target_pred: Column | None = None, min_common: int = 2
+    rf: DataFrame,
+    target_pred: Column | None = None,
+    min_common: int = 2,
+    salt_blocks: int | None = None,
+    salt_min_ratings: int = 16,
 ) -> DataFrame:
     """All (target_item, item) centered-cosine similarities > 0.
 
@@ -67,6 +71,18 @@ def cf_item_similarities(
     ``F.col('item') % 50 == 0``; None computes all pairs (including self-pairs,
     whose similarity is exactly 1 — kept, as in the reference's map).
     Returns (item_a, item_b, nc, sim).
+
+    ``salt_blocks=G`` turns on block-decomposed skew handling for the user
+    self-join — the classic CF scale hazard (one power user with d ratings
+    pins d^2 pair-rows on a single reducer). Users with >= ``salt_min_ratings``
+    ratings get their pair space split into a G x G block grid: the a-side
+    carries its own block id ga = hash(item) % G and replicates over all gb,
+    the b-side the mirror, and the join key becomes (user, ga, gb) — so a hot
+    user's pairs land on G^2 shuffle partitions instead of one, at the cost
+    of replicating only the hot users' rows G times. Cold users join on the
+    plain key. Results are bit-identical to the unsalted path (the block id
+    never reaches the aggregation). ``None`` (default) = plain self-join,
+    which AQE skew-split already handles for moderate skew.
     """
     st = rf.groupBy("item").agg(
         F.count(F.lit(1)).alias("n"),
@@ -81,7 +97,35 @@ def cf_item_similarities(
     b = rf.select(
         F.col("user_id"), F.col("item").alias("item_b"), F.col("rating").alias("rb")
     )
-    pairs = a.join(b, "user_id").groupBy("item_a", "item_b").agg(
+    if salt_blocks is not None and salt_blocks > 1:
+        G = salt_blocks
+        hot = (
+            rf.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= salt_min_ratings).select("user_id")
+        )  # unhinted: hot-user count is data-dependent; AQE picks the strategy
+        blks = F.sequence(F.lit(0), F.lit(G - 1))
+        a_hot = (
+            a.join(hot, "user_id", "left_semi")
+            .withColumn("ga", F.pmod(F.xxhash64("item_a"), F.lit(G)))
+            .withColumn("gb", F.explode(blks))
+        )
+        b_hot = (
+            b.join(hot, "user_id", "left_semi")
+            .withColumn("gb", F.pmod(F.xxhash64("item_b"), F.lit(G)))
+            .withColumn("ga", F.explode(blks))
+        )
+        joined = (
+            a.join(hot, "user_id", "left_anti")
+            .join(b.join(hot, "user_id", "left_anti"), "user_id")
+            .select("user_id", "item_a", "ra", "item_b", "rb")
+            .unionAll(
+                a_hot.join(b_hot, ["user_id", "ga", "gb"])
+                .select("user_id", "item_a", "ra", "item_b", "rb")
+            )
+        )
+    else:
+        joined = a.join(b, "user_id")
+    pairs = joined.groupBy("item_a", "item_b").agg(
         F.count(F.lit(1)).alias("nc"),
         F.sum(F.col("ra") * F.col("rb")).alias("p"),
         F.sum("ra").alias("sa"),

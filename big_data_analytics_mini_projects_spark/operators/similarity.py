@@ -268,6 +268,93 @@ def connected_components(
     return labels
 
 
+def connected_components_twophase(
+    pairs: DataFrame, key_a: str = "ka", key_b: str = "kb", max_rounds: int = 12
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond") —
+    the giant-component-safe variant :func:`connected_components` documents.
+
+    Min-label propagation needs O(diameter) rounds: a path component of
+    length D takes D rounds, so a 100 TB web-crawl dedup graph with one long
+    chain stalls the whole job. Large-star/small-star contracts the graph
+    toward each component's minimum in O(log^2 n) rounds regardless of
+    diameter, with the SAME per-round physical shape (one groupBy(min) +
+    one join — no new shuffle primitive):
+
+    - large-star: for each node u, connect every *larger* neighbor v > u to
+      m(u) = min(N(u) + {u});
+    - small-star: orient each edge large->small; connect every smaller
+      neighbor (and u itself) to m(u).
+
+    Both preserve connectivity; at the fixpoint the edge set is exactly the
+    star {(v, c)} with c = the component minimum. Convergence is detected
+    via the (edge_count, sum-of-endpoints) pair — each round only rewires
+    endpoints downward, so the pair is stable iff the edge set is.
+
+    Returns (node, label), same contract as :func:`connected_components`
+    (label = min node id of the component).
+    """
+    raw = pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionAll(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    edges = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_rounds):
+        # -- large-star: both directions, group by u, attach larger nbrs to min
+        both = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = both.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("u", "mn").alias("m")
+        )
+        ls = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: orient large->small, attach smaller nbrs + self to min
+        ori = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ori.join(smins, "u")
+            .select(
+                F.explode(F.array(F.col("v"), F.col("u"))).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = ss
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("c"), F.sum(F.col("u") + F.col("v")).alias("s")
+        ).collect()[0]
+        cur = (sig["c"], sig["s"])
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint edges are (member, component_min) stars; isolated-in-pairs
+    # nodes (self-pair inputs) label themselves.
+    lab = edges.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("label")
+    ).groupBy("node").agg(F.min("label").alias("label"))
+    out = (
+        nodes.join(lab, "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
+    )
+    nodes.unpersist()
+    return out
+
+
 def ngram_shingles(
     docs: DataFrame, n: int = 3, key: str = "doc_id", tokens_col: str = "toks"
 ) -> DataFrame:

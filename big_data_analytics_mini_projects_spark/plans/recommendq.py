@@ -140,3 +140,28 @@ def cf_predict_ratings_k50(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf = _filtered_ratings(spark, sf_dir)
     sims = cf_item_similarities(rf, F.col("item_a") % PRED_TARGETS == 0)
     return cf_predict(rf, sims, quantize=4, k=NEIGHBOR_K)
+
+
+@register(
+    "cf_item_similarity_salted",
+    oracle=(
+        f"WITH {_SQL_FILTERED}, {_sql_sims(SIM_TARGETS)} "
+        "SELECT item_a, item_b, nc, round(sim, 4) AS sim FROM simsf"
+    ),
+    doc="cf_item_similarity through the block-decomposed skew path "
+    "(operators/recommend.py cf_item_similarities salt_blocks=4): users with "
+    ">=16 ratings have their pair space split over a 4x4 block grid keyed "
+    "(user, ga, gb), spreading a power user's quadratic pair fan-out across "
+    "16 shuffle partitions; cold users take the plain self-join. The block "
+    "id never reaches the aggregation, so results are bit-identical to "
+    "cf_item_similarity — the oracle is the same SQL. At 100 TB this is the "
+    "guard for skew beyond what AQE skew-split handles (a single user whose "
+    "pair count exceeds one executor's memory).",
+    tags=("cf_sim", "join_pairs", "skew"),
+)
+def cf_item_similarity_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rf = _filtered_ratings(spark, sf_dir)
+    sims = cf_item_similarities(
+        rf, F.col("item_a") % SIM_TARGETS == 0, salt_blocks=4, salt_min_ratings=16
+    )
+    return sims.select("item_a", "item_b", "nc", F.round("sim", 4).alias("sim"))

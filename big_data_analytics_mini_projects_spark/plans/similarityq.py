@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.similarity import (
     BIT_POWERS,
     connected_components,
+    connected_components_twophase,
     dedup_exact,
     lsh_bands,
     lsh_candidates,
@@ -226,6 +227,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _scored_pairs(spark, sf_dir)
     cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+@register(
+    "dedup_clusters_twophase",
+    oracle=(
+        f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_BANDS}, {_SQL_SCORED}, "
+        "edges AS (SELECT ka AS a, kb AS b FROM scored "
+        "UNION SELECT kb, ka FROM scored), "
+        "nodes AS (SELECT DISTINCT a AS n FROM edges), "
+        "reach(n, m) AS (SELECT n, n FROM nodes UNION "
+        "SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a) "
+        "SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n"
+    ),
+    doc="dedup_clusters through the alternating large-star/small-star CC "
+    "(Kiveris et al. 2014; operators/similarity.py "
+    "connected_components_twophase): O(log^2 n) rounds independent of "
+    "component diameter — the variant a 100 TB crawl graph with chain-shaped "
+    "components needs, where min-label propagation's O(diameter) rounds "
+    "stall. Same per-round physical shape (groupBy-min + equi-join), same "
+    "output contract, same recursive-CTE oracle as dedup_clusters.",
+    tags=("dedup", "graph"),
+)
+def dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _scored_pairs(spark, sf_dir)
+    cc = connected_components_twophase(pairs)
     return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 

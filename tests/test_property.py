@@ -112,6 +112,54 @@ def test_connected_components_matches_union_find(spark):
         assert got == _union_find_components(edges), f"seed {seed}"
 
 
+def test_connected_components_twophase_matches_union_find(spark):
+    """Large-star/small-star CC == union-find on random graphs AND on a
+    50-node chain — the diameter case where min-label propagation needs 50
+    rounds but the two-phase contraction must converge in O(log^2 n)."""
+    from big_data_analytics_mini_projects_spark.operators.similarity import (
+        connected_components_twophase,
+    )
+
+    for seed in (21, 22):
+        rng = random.Random(seed)
+        nodes = list(range(30))
+        edges = sorted(
+            {tuple(sorted(rng.sample(nodes, 2))) for _ in range(18)}
+        )
+        chain = list(range(200, 250))  # diameter-49 path component
+        edges += list(zip(chain, chain[1:]))
+        pdf = spark.createDataFrame(edges, "ka long, kb long")
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components_twophase(pdf, max_rounds=12).collect()
+        }
+        assert got == _union_find_components(edges), f"seed {seed}"
+
+
+def test_cf_salted_matches_plain(spark):
+    """Block-decomposed skew CF == plain self-join CF, bit-identical, on a
+    skewed ratings set where one power user crosses the salt threshold."""
+    from big_data_analytics_mini_projects_spark.operators.recommend import (
+        cf_item_similarities,
+    )
+
+    rng = random.Random(31)
+    rows = [(0, item, float(rng.randrange(1, 6))) for item in range(40)]  # hot
+    for u in range(1, 12):
+        for item in rng.sample(range(40), 6):
+            rows.append((u, item, float(rng.randrange(1, 6))))
+    rf = spark.createDataFrame(rows, "user_id long, item long, rating double")
+    key = lambda df: {
+        (r["item_a"], r["item_b"]): (r["nc"], round(r["sim"], 9))
+        for r in df.collect()
+    }
+    plain = key(cf_item_similarities(rf, min_common=2))
+    salted = key(
+        cf_item_similarities(rf, min_common=2, salt_blocks=4, salt_min_ratings=16)
+    )
+    assert plain == salted
+
+
 def test_pagerank_rank_mass_conserved(spark, sf_dir):
     """With both edge directions present every node has out-edges, so no
     rank mass dangles: sum(r) == 0.15 + 0.85 == 1 after every iteration.
