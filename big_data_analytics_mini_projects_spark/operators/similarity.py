@@ -24,7 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: (pos, 2^pos) literals for 60-bit arithmetic — double pow() is inexact past
 #: 2^53, so both engines get the exact powers as data, not math.
@@ -410,4 +410,98 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("ka", "kb", "n_common", "jaccard")
+    )
+
+
+def jaccard_prefix_pairs(
+    shingles: DataFrame, tau_tenths: int = 3, key: str = "doc_id"
+) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (the AllPairs/PPJoin family:
+    Bayardo et al. 2007, Xiao et al. 2008) — the scale path the df-cap
+    heuristic in :func:`ngram_jaccard_pairs` approximates.
+
+    Shingles are globally ordered by (document frequency asc, shingle) and
+    only each document's first ``n - ceil(tau*n) + 1`` shingles are indexed:
+    any pair with Jaccard >= tau must share a prefix shingle (pigeonhole on
+    the >= ceil(tau*|x|) common elements), so the candidate join touches the
+    RARE end of the vocabulary instead of capping away the hot end — exact
+    recall, no dropped pairs, and the inverted index shrinks with tau.
+
+    tau = tau_tenths/10 is kept in tenths so prefix lengths and the final
+    threshold test are exact integer arithmetic in both engines
+    (ceil(tau*n) = (tau_tenths*n + 9) div 10; jac >= tau is
+    10*n_common >= tau_tenths*union).
+
+    Returns (ka, kb, n_common, jaccard). Shuffle census: per-doc shingle-set
+    groupBy (partition = one document — bounded by doc length), shingle df
+    groupBy, one row_number window keyed by doc, the prefix equi-join on
+    shingle + candidate distinct, and two doc-keyed joins attaching each
+    candidate's shingle ARRAY. Verification is per-candidate-row
+    array_intersect (sorted-merge over two bounded arrays) instead of a
+    posting-list expansion — the intermediate is |candidates| rows, never
+    |candidates| x doc-length. Everything is linear except the prefix join,
+    whose fan-out the prefix theorem bounds; the size filter
+    (tau*max <= min, integer form) prunes cross-length candidates before the
+    array joins.
+    """
+    # One groupBy gives both the verify arrays and the sizes; doc partition
+    # is bounded by document length, never corpus size.
+    doc_sets = (
+        shingles.groupBy(key)
+        .agg(F.collect_set("shingle").alias("shs"))
+        .withColumn("n_sh", F.size("shs"))
+        .persist()
+    )
+    sh = doc_sets.select(key, "n_sh", F.explode("shs").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    order_w = Window.partitionBy(key).orderBy("df", "shingle")
+    ranked = sh.join(freq, "shingle").withColumn(
+        "pos", F.row_number().over(order_w)
+    )
+    prefix_len = (
+        F.col("n_sh") - F.expr(f"({tau_tenths} * n_sh + 9) div 10") + F.lit(1)
+    )
+    pref = ranked.filter(F.col("pos") <= prefix_len).select(
+        key, "n_sh", "shingle"
+    )
+    cand = (
+        pref.select(F.col(key).alias("ka"), F.col("n_sh").alias("na"), "shingle")
+        .join(
+            pref.select(
+                F.col(key).alias("kb"), F.col("n_sh").alias("nb"), "shingle"
+            ),
+            "shingle",
+        )
+        .filter(F.col("ka") < F.col("kb"))
+        # size filter: J >= tau forces tau*max(na,nb) <= min(na,nb)
+        # (10*min >= tau_tenths*max in exact integer form).
+        .filter(
+            F.lit(10) * F.least("na", "nb")
+            >= F.lit(tau_tenths) * F.greatest("na", "nb")
+        )
+        .select("ka", "kb")
+        .distinct()
+    )
+    sa = doc_sets.select(
+        F.col(key).alias("ka"), F.col("shs").alias("sha"), F.col("n_sh").alias("na")
+    )
+    sb = doc_sets.select(
+        F.col(key).alias("kb"), F.col("shs").alias("shb"), F.col("n_sh").alias("nb")
+    )
+    verified = (
+        cand.join(sa, "ka")
+        .join(sb, "kb")
+        .withColumn("n_common", F.size(F.array_intersect("sha", "shb")).cast("long"))
+    )
+    union_sz = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        verified.filter(
+            F.lit(10) * F.col("n_common") >= F.lit(tau_tenths) * union_sz
+        )
+        .select(
+            "ka",
+            "kb",
+            "n_common",
+            (F.col("n_common") / union_sz).alias("jaccard"),
+        )
     )

@@ -31,8 +31,10 @@ driver coverage in its first round.
 from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
 # Each import populates the registry via @register side effects.
-# -- tier 1: never driver-checked (round-2 positions 61-65) --
+# -- tier 1: never driver-checked (round-2 positions 61-65, plus the whole
+#    round-3 curation/graph module) --
 from . import qaq  # noqa: F401  (PMI, chi-square drift, PNG codec, session windows, range overlap)
+from . import curationq  # noqa: F401  (round-3: dup-n-gram coverage, repetition, contamination, prefix join, triangles)
 
 # -- tier 2: rewritten-in-round-2 modules (driver rows predate the rewrite)
 #    plus all round-3 additions --

@@ -21,39 +21,7 @@ from ..operators.relational import (
 from ..sources.tables import load_table
 from .registry import register
 
-#: Synthetic ratings derivation (FIXTURES.md §B): lineitem⋈orders gives
-#: (user=o_custkey, item=l_partkey, rating∈1..5, recency=l_shipdate).
-#: floor before cast — DuckDB rounds double->int casts, Spark truncates.
-RATING_EXPR = "1 + (CAST(floor(l_extendedprice * 100) AS BIGINT) % 5)"
-
-SQL_RATINGS_DEDUP = f"""
-SELECT user_id, item, rating FROM (
-  SELECT o_custkey AS user_id, l_partkey AS item, {RATING_EXPR} AS rating,
-         row_number() OVER (PARTITION BY o_custkey, l_partkey
-                            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-WHERE rn = 1
-"""
-
-
-def ratings_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most-recent rating per (user, item) — agg_last_per_key (a3_p2.py:18-22,
-    spec'd 'most recent' semantics per SURVEY.md §7.4 wart #4)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    raw = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("l_partkey").alias("item"),
-        F.expr(RATING_EXPR).alias("rating"),
-        "l_shipdate",
-        "l_orderkey",
-        "l_linenumber",
-    )
-    return last_per_key(
-        raw,
-        ["user_id", "item"],
-        [F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")],
-    ).select("user_id", "item", "rating")
+from .shared import RATING_EXPR, SQL_RATINGS_DEDUP, ratings_deduped  # noqa: F401  (re-export; helpers live in shared.py so importing them has no registration side effects)
 
 
 # Registered first within this module: its round-1 oracle hash-failed (the

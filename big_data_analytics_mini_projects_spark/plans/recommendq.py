@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.recommend import cf_filter_ratings, cf_item_similarities, cf_predict
-from .core import SQL_RATINGS_DEDUP, ratings_deduped
+from .shared import SQL_RATINGS_DEDUP, ratings_deduped
 from .registry import register
 
 #: Deterministic target-item predicates, identical in both engines.

@@ -27,6 +27,11 @@ from pyspark.sql import SparkSession
 #: driver hands us *its* SparkSession, which we cannot configure at build time.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic NTZ<->epoch conversion: testdata timestamps are naive
+    # wall-clock values whose oracle semantics are "as if UTC" (DuckDB
+    # epoch_us); pinning the session tz makes the NTZ->TIMESTAMP cast in
+    # sources/tables.py engine-neutral on any host.
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -43,7 +43,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
                 "ts", F.timestamp_micros(F.col("ts_us"))
             )
-        else:  # already a timestamp (e.g. rewritten testdata)
+        elif dtypes.get("ts") == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ: the
+            # naive value means "as if UTC" (matching the oracle's
+            # epoch_us), so cast under the pinned UTC session tz for epoch
+            # micros, then rebuild a TIMESTAMP column for event-time
+            # windowing (unix_micros/watermarks reject NTZ).
+            df = df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        else:  # already a tz-aware timestamp
             df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
     return df
 

@@ -39,10 +39,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
+    dtypes = dict(sdf.dtypes)
+    if dtypes.get("ts") == "bigint":
         sdf = sdf.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts", F.timestamp_micros(F.col("ts_us"))
         )
+    elif dtypes.get("ts") == "timestamp_ntz":
+        # naive micros, "as if UTC" (see sources/tables.py): epoch under the
+        # pinned UTC session tz, then a TIMESTAMP column for watermarks.
+        sdf = sdf.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     else:
         sdf = sdf.withColumn("ts_us", F.unix_micros(F.col("ts")))
     return sdf

@@ -1,0 +1,132 @@
+"""Golden/property tests for the corpus-curation operators (duplicate-n-gram
+coverage, repetition ratios, contamination), the prefix-filtered exact
+similarity join, and triangle counting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_mini_projects_spark.operators.curation import (
+    dup_ngram_coverage,
+    ngram_contamination,
+    ngram_stream,
+    repetition_ratios,
+)
+from big_data_analytics_mini_projects_spark.operators.graphs import triangle_count
+from big_data_analytics_mini_projects_spark.operators.similarity import (
+    jaccard_prefix_pairs,
+    ngram_shingles,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t.split()) for i, t in rows], "doc_id long, toks array<string>"
+    )
+
+
+def test_ngram_stream_keeps_multiplicity(spark):
+    docs = _docs(spark, [(1, "a b a b a")])
+    grams = sorted(r["gram"] for r in ngram_stream(docs, 2).collect())
+    # positional bigrams: a b, b a, a b, b a — duplicates preserved
+    assert grams == ["a b", "a b", "b a", "b a"]
+    assert ngram_stream(_docs(spark, [(2, "only one tok".split()[0])]), 2).count() == 0
+
+
+def test_dup_ngram_coverage_golden(spark):
+    # doc1 and doc2 share the bigram "x y"; doc3 shares nothing.
+    docs = _docs(spark, [(1, "x y z"), (2, "w x y"), (3, "p q r")])
+    cov = {
+        r["doc_id"]: (r["n_grams"], r["n_dup"], r["dup_frac"])
+        for r in dup_ngram_coverage(ngram_stream(docs, 2)).collect()
+    }
+    assert cov[1] == (2, 1, 0.5)
+    assert cov[2] == (2, 1, 0.5)
+    assert cov[3] == (2, 0, 0.0)
+
+
+def test_repetition_ratios_golden(spark):
+    docs = _docs(spark, [(1, "a a a b"), (2, "u v w x")])
+    rep = {
+        r["doc_id"]: (r["n_tokens"], r["top_token_frac"], r["top_bigram_frac"])
+        for r in repetition_ratios(docs).collect()
+    }
+    # doc1: top token a (3/4); top bigram "a a" twice -> 2*2/4 = 1.0
+    assert rep[1] == (4, 0.75, 1.0)
+    # doc2: all distinct -> 1/4 and 2*1/4
+    assert rep[2] == (4, 0.25, 0.5)
+
+
+def test_ngram_contamination_only_cross_split(spark):
+    # doc 20 is held out (20 % 20 == 0); docs 1,2 share grams with it,
+    # doc 3 only shares with another TRAIN doc -> must not appear.
+    sh = spark.createDataFrame(
+        [
+            (20, "g1"),
+            (20, "g2"),
+            (1, "g1"),
+            (2, "g1"),
+            (2, "g2"),
+            (3, "g9"),
+            (4, "g9"),
+        ],
+        "doc_id long, shingle string",
+    )
+    out = {
+        r["doc_id"]: (r["n_test_docs"], r["n_shared_shingles"])
+        for r in ngram_contamination(sh, test_mod=20).collect()
+    }
+    assert out == {1: (1, 1), 2: (1, 2)}
+
+
+def test_jaccard_prefix_exact_recall_vs_all_pairs(spark):
+    """The prefix join must equal the naive all-pairs join exactly — the
+    AllPairs prefix theorem promises zero dropped pairs."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today ok"),
+        (2, "the quick brown fox jumps over the lazy dog today no"),  # near-dup of 1
+        (3, "a completely different document about spark and scale"),
+        (4, "a completely different document about spark and speed"),  # near-dup of 3
+        (5, "nothing in common with anything else at all here now"),
+    ]
+    docs = _docs(spark, rows)
+    sh = ngram_shingles(docs, n=3).persist()
+    got = {
+        (r["ka"], r["kb"]): (r["n_common"], round(r["jaccard"], 6))
+        for r in jaccard_prefix_pairs(sh, tau_tenths=3).collect()
+    }
+    # brute-force truth
+    a = sh.select(F.col("doc_id").alias("ka"), "shingle")
+    b = sh.select(F.col("doc_id").alias("kb"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = {}
+    nsz = {r["doc_id"]: r["n"] for r in sizes.collect()}
+    for r in common.collect():
+        u = nsz[r["ka"]] + nsz[r["kb"]] - r["c"]
+        if 10 * r["c"] >= 3 * u:
+            truth[(r["ka"], r["kb"])] = (r["c"], round(r["c"] / u, 6))
+    assert got == truth
+    assert (1, 2) in got and (3, 4) in got and (1, 5) not in got
+
+
+def test_triangle_count_golden(spark):
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5; edges given
+    # with duplicates, reversals and a self-loop to exercise canonicalization.
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+
+
+def test_triangle_count_triangle_free(spark):
+    # star graph: no triangles regardless of hub degree
+    df = spark.createDataFrame([(0, i) for i in range(1, 8)], "u long, v long")
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (8, 7, 0)

@@ -45,6 +45,8 @@ BNLJ_OK = {
     # documented brute-force baselines (blocked twins are the scale path):
     "ann_cosine_topk",
     "dedup_embedding_cosine",
+    # 1-row aggregate cross joins assembling the (nodes, edges, triangles) row:
+    "triangle_count_knn",
 }
 
 
