@@ -12,7 +12,7 @@ is one document's tokens, bounded by document length, never by corpus size).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def ngram_stream(
@@ -115,5 +115,43 @@ def ngram_contamination(
         .agg(
             F.count_distinct("test_id").alias("n_test_docs"),
             F.count_distinct("shingle").alias("n_shared_shingles"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx: int = 2048,
+    shard_size: int = 200,
+    key: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the pretraining batch-prep step):
+    documents are laid head-to-tail in ``key`` order and cut into ``ctx``-token
+    context windows; each document is assigned the window its FIRST token
+    falls in.
+
+    Packing needs a running token offset — a global running sum is the
+    classic single-partition window anti-pattern, so the stream is packed
+    within bounded shards of ``shard_size`` docs (key div shard_size): the
+    window partition is capped by construction, shards pack independently
+    and in parallel, and at 100 TB each worker packs its own shards with no
+    cross-shard coordination (exactly how packing shards out in practice).
+
+    Returns (shard, seq_bin, n_docs, n_tokens) per context window.
+    """
+    d = docs.select(
+        key,
+        F.expr(f"{key} div {shard_size}").alias("shard"),
+        F.size(tokens_col).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(key)
+    return (
+        d.withColumn("start", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .withColumn("seq_bin", F.expr(f"start div {ctx}"))
+        .groupBy("shard", "seq_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
         )
     )

@@ -219,3 +219,101 @@ def bucketed_near_pairs(
         .filter(F.col("cos") >= min_cos)
         .distinct()
     )
+
+
+def cosine_topk_multiprobe(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = N_PLANES,
+    key: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe SRP LSH search (Lv et al. 2007): each query probes its own
+    16-bit hyperplane bucket PLUS the 16 one-bit-flip neighbor buckets, so a
+    near neighbor that landed just across one hyperplane is still found —
+    recall rises without building more hash tables.
+
+    The probe set is a per-row array literal (bucket ^ 2^i), exploded and
+    equi-joined against the vectors' buckets: probe fan-out is the constant
+    n_planes+1, candidates per probe are one bucket's occupancy, and no
+    probe bucket repeats (b ^ 2^i are pairwise distinct) so candidates are
+    hit at most once — no dedup shuffle. Same output shape as cosine_topk:
+    (query_id, neighbor_id, rank, cos), rank by (cos desc, neighbor asc).
+    """
+    vb = hyperplane_buckets(vectors, n_planes, key=key).join(vectors, key)
+    qb = hyperplane_buckets(queries, n_planes, key=key).join(queries, key)
+    probes = F.array(
+        F.col("bucket"), *[F.expr(f"bucket ^ {1 << i}") for i in range(n_planes)]
+    )
+    q = qb.select(
+        F.col(key).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(probes).alias("blk"),
+    )
+    c = vb.select(
+        F.col(key).alias("neighbor_id"),
+        F.col("bucket").alias("blk"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    pairs = (
+        q.join(c, "blk")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(_dot("qv", "cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def diversity_by_group(vectors: DataFrame, key: str = "label") -> DataFrame:
+    """Per-group embedding diversity WITHOUT materializing pairs: the mean
+    squared pairwise L2 distance over the n(n-1) ordered pairs has the
+    closed form
+
+        (2n * sum(||x||^2) - 2 * ||sum(x)||^2) / (n (n-1))
+
+    so two linear aggregates (scalar squared norms; per-dimension component
+    sums via posexplode, keys bounded by groups x dim) replace the O(n^2)
+    self-join entirely — the collapse-detection / diversity metric a corpus
+    pipeline wants per source or cluster at 100 TB.
+
+    Decimal sufficient statistics (operators/aggregates.dsum) make every
+    cross-row sum exact, so the result is bit-stable across engines.
+    Returns (key, n, avg_sq_norm, mean_pair_sqdist) for groups with n >= 2.
+    """
+    from .aggregates import dsum
+
+    sq = vectors.select(key, F.expr(_dot("v", "v")).alias("sq"))
+    s1 = sq.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"), dsum("sq", 8).alias("s1")
+    )
+    comp = vectors.select(key, F.posexplode("v").alias("pos", "x"))
+    sv = (
+        comp.groupBy(key, "pos")
+        .agg(dsum("x", 8).alias("s"))
+        .groupBy(key)
+        .agg(dsum(F.col("s") * F.col("s"), 6).alias("sv2"))
+    )
+    n = F.col("n")
+    return (
+        s1.join(sv, key)
+        .filter(n >= 2)
+        .select(
+            key,
+            "n",
+            (F.col("s1") / n).alias("avg_sq_norm"),
+            (
+                (F.lit(2) * n * F.col("s1") - F.lit(2) * F.col("sv2"))
+                / (n * (n - F.lit(1)))
+            ).alias("mean_pair_sqdist"),
+        )
+    )

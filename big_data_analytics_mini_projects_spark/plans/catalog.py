@@ -41,7 +41,7 @@ from . import curationq  # noqa: F401  (round-3: dup-n-gram coverage, repetition
 from . import statsq  # noqa: F401  (OLS closed forms; round-3: closed-form p-value oracle)
 from . import recommendq  # noqa: F401  (CF similarity + prediction; round-3: k=50 cap)
 from . import samplingq  # noqa: F401  (samplers / welford / hourly windows; r2 top-k rewrite)
-from . import vectorq  # noqa: F401  (embedding ANN; round-3: banded SRP bucketed dedup)
+from . import vectorq  # noqa: F401  (embedding ANN; round-3: banded SRP bucketed dedup, multi-probe LSH, pairless diversity)
 from . import similarityq  # noqa: F401  (minhash / LSH / dedup; round-3: two-phase CC)
 
 # -- tier 3: window fill — verdicts are round-1 but code unchanged since --

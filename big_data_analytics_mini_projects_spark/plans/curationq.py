@@ -15,6 +15,7 @@ from ..operators.curation import (
     dup_ngram_coverage,
     ngram_contamination,
     ngram_stream,
+    pack_sequences,
     repetition_ratios,
 )
 from ..operators.graphs import triangle_count
@@ -203,3 +204,26 @@ def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     knn = w.withColumn("rn", rn).filter(F.col("rn") <= 3).select("sa", "sb")
     return triangle_count(knn, src="sa", dst="sb")
+
+
+@register(
+    "pack_sequences_2048",
+    oracle=(
+        f"WITH {_SQL_TOKS}, "
+        "d AS (SELECT doc_id, doc_id // 200 AS shard, "
+        "CAST(len(toks) AS BIGINT) AS n_tok FROM tarr), "
+        "s AS (SELECT shard, n_tok, SUM(n_tok) OVER (PARTITION BY shard "
+        "ORDER BY doc_id) - n_tok AS strt FROM d) "
+        "SELECT shard, CAST(strt // 2048 AS BIGINT) AS seq_bin, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS n_tokens "
+        "FROM s GROUP BY shard, strt // 2048"
+    ),
+    doc="Concat-then-chunk sequence packing into 2048-token context windows "
+    "(the pretraining batch-prep step), packed within bounded 200-doc shards "
+    "so the running-offset window partition is capped by construction — "
+    "shards pack independently and in parallel; no global running sum, no "
+    "single-partition window.",
+    tags=("curation", "pipeline", "window"),
+)
+def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(_docs_toks(spark, sf_dir), ctx=2048, shard_size=200)

@@ -130,3 +130,58 @@ def test_triangle_count_triangle_free(spark):
     df = spark.createDataFrame([(0, i) for i in range(1, 8)], "u long, v long")
     row = triangle_count(df).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (8, 7, 0)
+
+
+def test_pack_sequences_golden(spark):
+    docs = spark.createDataFrame(
+        [(0, ["w"] * 3), (1, ["w"] * 4), (2, ["w"] * 2), (3, ["w"] * 6)],
+        "doc_id long, toks array<string>",
+    )
+    from big_data_analytics_mini_projects_spark.operators.curation import (
+        pack_sequences,
+    )
+    # shard_size=2 -> shards {0,1}; ctx=3: doc1 starts at offset 3 -> bin 1;
+    # doc3 starts at offset 2 -> bin 0.
+    out = {
+        (r["shard"], r["seq_bin"]): (r["n_docs"], r["n_tokens"])
+        for r in pack_sequences(docs, ctx=3, shard_size=2).collect()
+    }
+    assert out == {(0, 0): (1, 3), (0, 1): (1, 4), (1, 0): (2, 8)}
+
+
+def test_diversity_closed_form_matches_pairs(spark):
+    from big_data_analytics_mini_projects_spark.operators.vector import (
+        diversity_by_group,
+    )
+    rows = [
+        ("a", [1.0, 0.0]), ("a", [0.0, 1.0]), ("a", [1.0, 1.0]),
+        ("b", [2.0, 0.0]), ("b", [0.0, 0.0]),
+        ("c", [5.0, 5.0]),  # n=1 -> excluded
+    ]
+    df = spark.createDataFrame(rows, "label string, v array<double>")
+    out = {
+        r["label"]: (r["n"], r["avg_sq_norm"], r["mean_pair_sqdist"])
+        for r in diversity_by_group(df, key="label").collect()
+    }
+    assert out["a"][0] == 3
+    assert out["a"][2] == pytest.approx(4 / 3, abs=1e-9)  # (2+1+1)/3
+    assert out["b"] == (2, 2.0, 4.0)
+    assert "c" not in out
+
+
+def test_multiprobe_finds_duplicate_vector(spark):
+    from big_data_analytics_mini_projects_spark.operators.vector import (
+        EMB_DIM,
+        cosine_topk_multiprobe,
+        prepare_vectors,
+    )
+    base = [float((i * 7) % 5 - 2) or 1.0 for i in range(EMB_DIM)]
+    anti = [-x for x in base]
+    rows = [(0, base), (1, base), (2, anti)]
+    emb = prepare_vectors(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    out = cosine_topk_multiprobe(emb, emb.filter(F.col("vec_id") == 0), k=1)
+    r = out.collect()
+    assert len(r) == 1 and r[0]["neighbor_id"] == 1
+    assert r[0]["cos"] == pytest.approx(1.0, abs=1e-12)
