@@ -19,6 +19,7 @@ from ..operators.curation import (
     repetition_ratios,
 )
 from ..operators.graphs import triangle_count
+from ..functions.hashing import h64
 from ..operators.similarity import jaccard_prefix_pairs, ngram_shingles
 from ..sources.tables import load_table, spread
 from .registry import register
@@ -227,3 +228,71 @@ def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs_toks(spark, sf_dir), ctx=2048, shard_size=200)
+
+
+#: Corpus-mixing target: keep ~half the corpus tokens, split equally across
+#: sources (basis points so every rate computation is integer arithmetic).
+MIX_TARGET_BP = 5000
+
+
+@register(
+    "corpus_mix_quota",
+    oracle=(
+        f"WITH {_SQL_TOKS}, "
+        "d AS (SELECT t.doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok, "
+        "('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        "% 10000 AS h FROM tarr t JOIN documents USING (doc_id)), "
+        "tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok FROM d GROUP BY source), "
+        "quota AS (SELECT source, src_tok, "
+        f"CAST((SUM(src_tok) OVER ()) * {MIX_TARGET_BP} // 10000 "
+        "// (COUNT(*) OVER ()) AS BIGINT) AS q FROM tot), "
+        "rates AS (SELECT source, src_tok, "
+        "CAST(LEAST(10000, q * 10000 // src_tok) AS BIGINT) AS rate_bp FROM quota) "
+        "SELECT d.source, rate_bp, COUNT(*) AS n_docs_kept, "
+        "CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept "
+        "FROM d JOIN rates ON d.source = rates.source "
+        "WHERE h < rate_bp GROUP BY d.source, rate_bp"
+    ),
+    doc="Quota-based corpus mixing (the pretraining data-mixture step): each "
+    "source gets an equal share of a 50% total-token budget; per-source "
+    "acceptance rates are exact integer basis points and documents are kept "
+    "by a deterministic cross-engine hash, so every engine keeps the SAME "
+    "documents. Totals are one bounded per-source aggregate (window over "
+    "the source DIMENSION, not the corpus); acceptance is a map-side "
+    "filter — no sort, no global sample.",
+    tags=("curation", "sampling", "pipeline"),
+)
+def corpus_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    d = spread(docs).withColumn("h", h64("doc_id", "mix") % 10000)
+    tot = d.groupBy("source").agg(F.sum("n_tok").alias("src_tok"))
+    # bounded window: one row per SOURCE (a dimension), never per document
+    quota = tot.withColumn(
+        "q",
+        F.expr(
+            f"((sum(src_tok) over ()) * {MIX_TARGET_BP} div 10000) "
+            "div (count(1) over ())"
+        ),
+    )
+    rates = quota.select(
+        "source",
+        "src_tok",
+        F.least(F.lit(10000), F.expr("(q * 10000) div src_tok"))
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    return (
+        d.join(rates, "source")
+        .filter(F.col("h") < F.col("rate_bp"))
+        .groupBy("source", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("n_tokens_kept"),
+        )
+    )

@@ -9,6 +9,10 @@ queries into window positions 10-20).
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.relational import last_per_key
@@ -47,3 +51,18 @@ def ratings_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "item"],
         [F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")],
     ).select("user_id", "item", "rating")
+
+
+#: Scratch root for derived ingestion fixtures. Spark itself spills to the
+#: system temp dir, so that is the one location guaranteed writable here.
+SCRATCH = os.path.join(tempfile.gettempdir(), "bdamp_spark_scratch")
+
+
+def scratch_path(name: str, sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    return os.path.join(SCRATCH, tag, name)
+
+
+def reset_scratch(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -355,3 +355,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = ngram_shingles(docs, n=3)
     out = ngram_jaccard_pairs(sh, min_jaccard=0.2, df_cap=500)
     return out.select("ka", "kb", "n_common", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "dedup_apply_canonical",
+    oracle=(
+        f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_BANDS}, {_SQL_SCORED}, "
+        "edges AS (SELECT ka AS a, kb AS b FROM scored "
+        "UNION SELECT kb, ka FROM scored), "
+        "nodes AS (SELECT DISTINCT a AS n FROM edges), "
+        "reach(n, m) AS (SELECT n, n FROM nodes UNION "
+        "SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a), "
+        "dropped AS (SELECT n AS doc_id FROM reach GROUP BY n "
+        "HAVING MIN(m) <> n) "
+        "SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_kept, "
+        "CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dropped "
+        "FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id "
+        "GROUP BY source"
+    ),
+    doc="The APPLY step of near-dup dedup — what a corpus user actually "
+    "ships: minhash-LSH near-dup pairs -> connected components -> every "
+    "non-canonical member (label != self) anti-joined out of the corpus; "
+    "per-source kept/dropped accounting. Composes the whole pipeline "
+    "(shingle -> sign -> band -> score -> cluster -> apply) into one "
+    "driver-free DAG; the anti join is the only touch on the full corpus "
+    "beyond the signature scan.",
+    tags=("dedup", "graph", "pipeline"),
+)
+def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _scored_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    dropped = cc.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_src = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        per_src.join(kept_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )

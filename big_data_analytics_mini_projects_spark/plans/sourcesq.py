@@ -17,8 +17,6 @@ shape honest (no coalesce(1)).
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -28,20 +26,10 @@ from ..operators.relational import join_broadcast
 from ..sources.readers import scan_csv, scan_text_json
 from ..sources.tables import load_table
 from .registry import register
-
-#: Scratch root for derived ingestion fixtures. Spark itself spills to the
-#: system temp dir, so that is the one location guaranteed writable here.
-_SCRATCH = os.path.join(tempfile.gettempdir(), "bdamp_spark_scratch")
+from .shared import scratch_path as _scratch_path_shared, reset_scratch as _reset
 
 
-def _scratch_path(name: str, sf_dir: str) -> str:
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    return os.path.join(_SCRATCH, tag, name)
-
-
-def _reset(path: str) -> None:
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+_scratch_path = _scratch_path_shared
 
 
 @register(

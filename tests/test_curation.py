@@ -185,3 +185,25 @@ def test_multiprobe_finds_duplicate_vector(spark):
     r = out.collect()
     assert len(r) == 1 and r[0]["neighbor_id"] == 1
     assert r[0]["cos"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_merge_snapshot_one_sided_keys(spark):
+    from big_data_analytics_mini_projects_spark.plans.warehouseq import (
+        merge_snapshot,
+    )
+    schema = "user_id long, n_events long, first_ts long, last_ts long"
+    base = spark.createDataFrame(
+        [(1, 3, 100, 300), (2, 1, 50, 50)], schema
+    )
+    delta = spark.createDataFrame(
+        [(2, 2, 400, 500), (3, 4, 10, 20)], schema
+    )
+    out = {
+        r["user_id"]: (r["n_events"], r["first_ts"], r["last_ts"])
+        for r in merge_snapshot(base, delta).collect()
+    }
+    assert out == {
+        1: (3, 100, 300),   # only in base -> unchanged
+        2: (3, 50, 500),    # both -> counts add, min/max span
+        3: (4, 10, 20),     # only in delta -> inserted
+    }

@@ -261,3 +261,40 @@ def test_bloom_probes_are_broadcast(spark, sf_dir):
     orders side is filtered map-side, never shuffled for the probes."""
     plan = _executed_plan(spark, sf_dir, "bloom_filter_join_prune")
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_curation_scans_prune_to_used_columns(spark, sf_dir):
+    # every curation metric projects (doc_id, text) only — a documents scan
+    # reading lang/source/n_chars at 100 TB is paying for dead columns
+    for name in ("dup_ngram_coverage", "repetition_ratios", "pack_sequences_2048"):
+        plan = _plan(spark, sf_dir, name)
+        schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "doc_id" in schema_line and "text" in schema_line, name
+        assert "lang" not in schema_line and "n_chars" not in schema_line, name
+
+
+def test_prefix_join_all_equi_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_jaccard_prefix", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_wedge_joins_are_equi(spark, sf_dir):
+    # the wedge and closing joins must be hash equi-joins; the only
+    # cross joins allowed are the three 1-row aggregate assemblies
+    plan = _plan(spark, sf_dir, "triangle_count_knn", mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_multiprobe_is_equi_join_on_bucket(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_multiprobe_topk", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_diversity_has_no_pairwise_join(spark, sf_dir):
+    # the closed form must compile to aggregates only — any join beyond the
+    # final 2-sided stats merge means pairs are being materialized
+    plan = _plan(spark, sf_dir, "embedding_diversity_by_label", mode="simple")
+    assert plan.count("Join") <= 2  # s1 x sv merge only
+    assert "CartesianProduct" not in plan
