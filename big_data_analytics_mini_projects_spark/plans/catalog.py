@@ -43,7 +43,8 @@ from . import recommendq  # noqa: F401  (CF similarity + prediction; round-3: k=
 from . import samplingq  # noqa: F401  (samplers / welford / hourly windows; r2 top-k rewrite)
 from . import vectorq  # noqa: F401  (embedding ANN; round-3: banded SRP bucketed dedup, multi-probe LSH, pairless diversity)
 from . import similarityq  # noqa: F401  (minhash / LSH / dedup; round-3: two-phase CC)
-from . import warehouseq  # noqa: F401  (round-3: ORC round trip, incremental snapshot merge)
+from . import warehouseq  # noqa: F401  (round-3: ORC round trip, incremental snapshot merge, column profiler)
+from . import decisionq  # noqa: F401  (round-3: TPC-H Q4 EXISTS semi, Q13 outer-join distribution)
 
 # -- tier 3: window fill — verdicts are round-1 but code unchanged since --
 from . import core  # noqa: F401  (relational / TPC-H / JSON / window)

@@ -47,6 +47,8 @@ BNLJ_OK = {
     "dedup_embedding_cosine",
     # 1-row aggregate cross joins assembling the (nodes, edges, triangles) row:
     "triangle_count_knn",
+    # Q4's scalar floor date: a 1-row aggregate broadcast onto lineitem
+    "tpch_q4_order_priority",
 }
 
 

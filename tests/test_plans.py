@@ -298,3 +298,14 @@ def test_diversity_has_no_pairwise_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_diversity_by_label", mode="simple")
     assert plan.count("Join") <= 2  # s1 x sv merge only
     assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4_order_priority", mode="simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_keeps_outer_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q13_customer_distribution", mode="simple")
+    assert "LeftOuter" in plan

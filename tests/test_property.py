@@ -245,3 +245,82 @@ def test_weighted_reservoir_matches_python_aes(spark, sf_dir):
         for r in QUERIES["sample_weighted_reservoir"].build(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_jaccard_prefix_matches_bruteforce_random(spark):
+    """Prefix-filtered join == brute-force all-pairs on random token sets,
+    across tau values — the exact-recall theorem, not just one fixture."""
+    from big_data_analytics_mini_projects_spark.operators.similarity import (
+        jaccard_prefix_pairs,
+    )
+    for seed, tau_tenths in ((1, 3), (2, 6), (3, 8)):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]  # small vocab -> real collisions
+        docs = {
+            d: set(rng.sample(vocab, rng.randrange(3, 12))) for d in range(20)
+        }
+        rows = [(d, w) for d, ws in docs.items() for w in ws]
+        sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+        got = {
+            (r["ka"], r["kb"]): r["n_common"]
+            for r in jaccard_prefix_pairs(sh, tau_tenths=tau_tenths).collect()
+        }
+        expect = {}
+        for a in docs:
+            for b in docs:
+                if a < b:
+                    c = len(docs[a] & docs[b])
+                    u = len(docs[a] | docs[b])
+                    if c and 10 * c >= tau_tenths * u:
+                        expect[(a, b)] = c
+        assert got == expect, f"seed {seed} tau {tau_tenths}"
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    from big_data_analytics_mini_projects_spark.operators.graphs import (
+        triangle_count,
+    )
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 12
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a < b and rng.random() < 0.3
+        ]
+        # feed them shuffled/reversed to exercise canonicalization
+        noisy = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in edges]
+        df = spark.createDataFrame(noisy + noisy[:3], "u long, v long")
+        row = triangle_count(df).collect()[0]
+        es = set(edges)
+        tri = sum(
+            1
+            for x in range(n)
+            for y in range(x + 1, n)
+            for z in range(y + 1, n)
+            if (x, y) in es and (y, z) in es and (x, z) in es
+        )
+        assert row["n_triangles"] == tri, f"seed {seed}"
+        assert row["n_edges"] == len(es), f"seed {seed}"
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    from big_data_analytics_mini_projects_spark.operators.curation import (
+        pack_sequences,
+    )
+    for seed in (1, 2):
+        rng = random.Random(seed)
+        docs = [(i, ["t"] * rng.randrange(0, 40)) for i in range(37)]
+        df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+        out = pack_sequences(df, ctx=16, shard_size=10).collect()
+        # token + doc conservation per shard
+        by_shard: dict[int, list] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rows in by_shard.items():
+            want = [t for (i, t) in docs if i // 10 == shard]
+            assert sum(r["n_docs"] for r in rows) == len(want)
+            assert sum(r["n_tokens"] for r in rows) == sum(len(t) for t in want)
+            for r in rows:  # bin ids within the shard's token span
+                assert 0 <= r["seq_bin"] <= sum(len(t) for t in want) // 16
