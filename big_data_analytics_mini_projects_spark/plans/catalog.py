@@ -11,18 +11,21 @@ CORRECTNESS_r02.json); the round-3 goal is that the union of rounds 1-3 has a
 full-hash green row for every declared query on its CURRENT implementation.
 Ordering for round 3:
 
-  1. the 5 queries that have never received a driver verdict (qaq: positions
-     61-65 in round 2 — pmi_word_pairs, label_drift_chi2,
-     multimodal_png_decode, streaming_session_windows, range_overlap_sessions);
+  1. queries with no driver verdict yet: qaq (round-2 positions 61-65) and
+     every round-3 module (curationq, warehouseq, decisionq) / addition;
   2. modules REWRITTEN in round 2 whose green rows predate the rewrite
-     (statsq: OLS closed forms 33e4f5f; recommendq: broadcast size-guards
-     d208ecf; samplingq: sampler top-k rewrite 137d20d) plus every query
-     added or changed in round 3 (statsq: ols_words_pvalues closed-form
-     oracle; recommendq: cf_predict_ratings_k50; vectorq:
-     dedup_embedding_bucketed; similarityq: CC two-phase variant);
+     (statsq 33e4f5f; recommendq d208ecf; samplingq 137d20d) plus round-3
+     changes inside them (ols_words_pvalues oracle, cf_predict_ratings_k50,
+     dedup_embedding_bucketed, CC two-phase, dedup_apply_canonical);
   3. window fill: modules whose verdicts are round-1 but unchanged since
-     (core 51-60, textq, linalgq) — harmless to re-verify, safe to truncate;
+     (core, textq, linalgq) — harmless to re-verify, safe to truncate;
   4. modules fully green in round 2 on current code, registered last.
+
+Round-3 tiers 1-2 land at positions 1-50 EXACTLY (decisionq's Q13 is #50) —
+the window is full: a round-4 addition must either displace a tier-3 entry
+or wait a round for its verdict. Shared helpers live in plans/shared.py
+(registration-free) precisely so a cross-module import can never reorder
+this file's contract.
 
 When adding a module/query, slot it BEFORE the already-green block so it gets
 driver coverage in its first round.
