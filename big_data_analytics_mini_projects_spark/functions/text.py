@@ -91,3 +91,18 @@ def round4(col: Column | str) -> Column:
     """Final-stat rounding used throughout the reference (MRSystemSimulator2020.py:245)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c, 4)
+
+
+def ngram_expr(n: int, tokens_col: str = "toks") -> str:
+    """Spark SQL expression producing the positional word n-gram array of a
+    token-array column (one entry per position, duplicates preserved) — a
+    per-row array transform: zero shuffle, whole-stage codegen. The single
+    source of truth for both the positional stream (operators/curation.
+    ngram_stream) and the distinct shingle set (operators/similarity.
+    ngram_shingles); the DuckDB mirrors live in the plan modules."""
+    return (
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> array_join(slice({tokens_col}, i, {n}), ' ')) "
+        f"ELSE cast(array() as array<string>) END"
+    )

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.text import ngram_expr
+
 
 def ngram_stream(
     docs: DataFrame, n: int, key: str = "doc_id", tokens_col: str = "toks"
@@ -21,13 +23,9 @@ def ngram_stream(
     """Word n-grams per key WITH multiplicity (one row per position) —
     the positional twin of similarity.ngram_shingles (which dedupes).
     Per-row array transform: zero shuffle, whole-stage codegen."""
-    expr = (
-        f"CASE WHEN size({tokens_col}) >= {n} THEN "
-        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
-        f"i -> array_join(slice({tokens_col}, i, {n}), ' ')) "
-        f"ELSE cast(array() as array<string>) END"
+    return docs.select(
+        key, F.explode(F.expr(ngram_expr(n, tokens_col))).alias("gram")
     )
-    return docs.select(key, F.explode(F.expr(expr)).alias("gram"))
 
 
 def dup_ngram_coverage(grams: DataFrame, key: str = "doc_id") -> DataFrame:

@@ -203,3 +203,29 @@ def having_count(
     else:
         c = F.count(count_col).over(w)
     return df.withColumn("__c", c).filter(F.col("__c") >= min_count).drop("__c")
+
+
+def merge_snapshot(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental snapshot merge (the MERGE INTO shape): ONE full outer join
+    of two (user_id, n_events, first_ts, last_ts) stats frames — counts add,
+    first/last coalesce-min/max, a key on either side survives. Generic over
+    any additive-stats snapshot; plans/warehouseq.py binds it to events."""
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+    bcol = lambda c: F.col(f"b.{c}")  # noqa: E731
+    dcol = lambda c: F.col(f"d.{c}")  # noqa: E731
+    return merged.select(
+        F.coalesce(bcol("user_id"), dcol("user_id")).alias("user_id"),
+        (
+            F.coalesce(bcol("n_events"), F.lit(0))
+            + F.coalesce(dcol("n_events"), F.lit(0))
+        ).alias("n_events"),
+        F.least(
+            F.coalesce(bcol("first_ts"), dcol("first_ts")),
+            F.coalesce(dcol("first_ts"), bcol("first_ts")),
+        ).alias("first_ts"),
+        F.greatest(
+            F.coalesce(bcol("last_ts"), dcol("last_ts")),
+            F.coalesce(dcol("last_ts"), bcol("last_ts")),
+        ).alias("last_ts"),
+    )

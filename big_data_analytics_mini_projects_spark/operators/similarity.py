@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.text import ngram_expr
+
 #: (pos, 2^pos) literals for 60-bit arithmetic — double pow() is inexact past
 #: 2^53, so both engines get the exact powers as data, not math.
 BIT_POWERS = [(p, 1 << p) for p in range(60)]
@@ -363,13 +365,9 @@ def ngram_shingles(
     Shingling is a per-row array transform (slice + join over a generated
     index sequence) — zero shuffle, whole-stage codegen; the windowed
     lead() formulation would shuffle the corpus by key for no reason."""
-    expr = (
-        f"CASE WHEN size({tokens_col}) >= {n} THEN "
-        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
-        f"i -> array_join(slice({tokens_col}, i, {n}), ' ')) "
-        f"ELSE cast(array() as array<string>) END"
-    )
-    return docs.select(key, F.explode(F.expr(expr)).alias("shingle")).distinct()
+    return docs.select(
+        key, F.explode(F.expr(ngram_expr(n, tokens_col))).alias("shingle")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(

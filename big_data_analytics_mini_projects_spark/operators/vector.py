@@ -54,6 +54,17 @@ def prepare_vectors(emb: DataFrame, key: str = "vec_id") -> DataFrame:
     return with_norm(_as_double_vec(emb))
 
 
+def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k tail shared by every ANN variant:
+    rank by (cos desc, neighbor asc) — ties only between identical vectors."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def cosine_topk(
     vectors: DataFrame, queries: DataFrame, k: int, key: str = "vec_id"
 ) -> DataFrame:
@@ -78,12 +89,7 @@ def cosine_topk(
             (F.expr(_dot("qv", "cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _rank_topk(pairs, k)
 
 
 def cosine_topk_blocked(
@@ -111,12 +117,7 @@ def cosine_topk_blocked(
             (F.expr(_dot("qv", "cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _rank_topk(pairs, k)
 
 
 def embedding_near_pairs(
@@ -266,12 +267,7 @@ def cosine_topk_multiprobe(
             (F.expr(_dot("qv", "cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _rank_topk(pairs, k)
 
 
 def diversity_by_group(vectors: DataFrame, key: str = "label") -> DataFrame:

@@ -26,10 +26,9 @@ from ..operators.relational import join_broadcast
 from ..sources.readers import scan_csv, scan_text_json
 from ..sources.tables import load_table
 from .registry import register
-from .shared import scratch_path as _scratch_path_shared, reset_scratch as _reset
+from .shared import reset_scratch as _reset, scratch_path as _scratch_path
 
 
-_scratch_path = _scratch_path_shared
 
 
 @register(

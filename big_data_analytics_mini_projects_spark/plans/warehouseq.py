@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.aggregates import dsum, sql_dsum
+from ..operators.relational import merge_snapshot
 from ..sources.tables import load_table
 from .registry import register
 from .shared import reset_scratch, scratch_path
@@ -50,33 +51,6 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merge_snapshot(base: DataFrame, delta: DataFrame) -> DataFrame:
-    """ONE full outer join merging two (user_id, n_events, first_ts, last_ts)
-    stats frames: counts add, first/last coalesce-min/max; a key on either
-    side survives. Exposed separately so the one-sided-key edge cases (users
-    only in base / only in delta) are unit-testable — the testdata has every
-    user active on both sides of the cutoff."""
-    b, d = base.alias("b"), delta.alias("d")
-    merged = b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
-    bcol = lambda c: F.col(f"b.{c}")  # noqa: E731
-    dcol = lambda c: F.col(f"d.{c}")  # noqa: E731
-    return merged.select(
-        F.coalesce(bcol("user_id"), dcol("user_id")).alias("user_id"),
-        (
-            F.coalesce(bcol("n_events"), F.lit(0))
-            + F.coalesce(dcol("n_events"), F.lit(0))
-        ).alias("n_events"),
-        F.least(
-            F.coalesce(bcol("first_ts"), dcol("first_ts")),
-            F.coalesce(dcol("first_ts"), bcol("first_ts")),
-        ).alias("first_ts"),
-        F.greatest(
-            F.coalesce(bcol("last_ts"), dcol("last_ts")),
-            F.coalesce(dcol("last_ts"), bcol("last_ts")),
-        ).alias("last_ts"),
-    )
-
-
 @register(
     "incremental_snapshot_merge",
     oracle=(
@@ -101,7 +75,7 @@ def merge_snapshot(base: DataFrame, delta: DataFrame) -> DataFrame:
     "a day's ingest, so the daily cost is O(delta + snapshot), never a "
     "recompute over the raw corpus; both aggregates are partial (map-side "
     "combine) before their single shuffle.",
-    tags=("merge_upsert", "agg_sum_by_key", "window"),
+    tags=("merge_upsert", "agg_sum_by_key"),
 )
 def incremental_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(

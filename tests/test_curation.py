@@ -188,7 +188,7 @@ def test_multiprobe_finds_duplicate_vector(spark):
 
 
 def test_merge_snapshot_one_sided_keys(spark):
-    from big_data_analytics_mini_projects_spark.plans.warehouseq import (
+    from big_data_analytics_mini_projects_spark.operators.relational import (
         merge_snapshot,
     )
     schema = "user_id long, n_events long, first_ts long, last_ts long"
