@@ -324,3 +324,66 @@ def test_pack_sequences_conserves_tokens(spark):
             assert sum(r["n_tokens"] for r in rows) == sum(len(t) for t in want)
             for r in rows:  # bin ids within the shard's token span
                 assert 0 <= r["seq_bin"] <= sum(len(t) for t in want) // 16
+
+
+def test_merge_snapshot_equals_whole_range_stats(spark):
+    """Splitting events at ANY cutoff and merging the two snapshots must
+    equal the single-pass stats over the whole range (associativity of the
+    additive stats — the property incremental maintenance relies on)."""
+    from big_data_analytics_mini_projects_spark.operators.relational import (
+        merge_snapshot,
+    )
+    for seed, cut in ((1, 30), (2, 70)):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(6), rng.randrange(100)) for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts_us long")
+
+        def stats(frame):
+            return frame.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts_us").alias("first_ts"),
+                F.max("ts_us").alias("last_ts"),
+            )
+
+        merged = {
+            r["user_id"]: (r["n_events"], r["first_ts"], r["last_ts"])
+            for r in merge_snapshot(
+                stats(df.filter(F.col("ts_us") <= cut)),
+                stats(df.filter(F.col("ts_us") > cut)),
+            ).collect()
+        }
+        whole = {
+            r["user_id"]: (r["n_events"], r["first_ts"], r["last_ts"])
+            for r in stats(df).collect()
+        }
+        assert merged == whole, f"seed {seed} cut {cut}"
+
+
+def test_diversity_matches_bruteforce_random(spark):
+    from big_data_analytics_mini_projects_spark.operators.vector import (
+        diversity_by_group,
+    )
+    rng = random.Random(7)
+    rows = [
+        (f"g{g}", [round(rng.uniform(-2, 2), 3) for _ in range(8)])
+        for g in range(3)
+        for _ in range(rng.randrange(2, 7))
+    ]
+    df = spark.createDataFrame(rows, "label string, v array<double>")
+    got = {
+        r["label"]: r["mean_pair_sqdist"]
+        for r in diversity_by_group(df, key="label").collect()
+    }
+    byg: dict[str, list] = {}
+    for g, v in rows:
+        byg.setdefault(g, []).append(v)
+    for g, vs in byg.items():
+        dists = [
+            sum((a - b) ** 2 for a, b in zip(x, y))
+            for i, x in enumerate(vs)
+            for y in vs[i + 1 :]
+        ]
+        want = sum(dists) / len(dists)
+        assert abs(got[g] - want) < 1e-6, g
