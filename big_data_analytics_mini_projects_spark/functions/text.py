@@ -106,3 +106,19 @@ def ngram_expr(n: int, tokens_col: str = "toks") -> str:
         f"i -> array_join(slice({tokens_col}, i, {n}), ' ')) "
         f"ELSE cast(array() as array<string>) END"
     )
+
+
+def round4_stable(col: Column | str) -> Column:
+    """Half-up rounding at 4 decimals computed ON THE BINARY double:
+    floor(x*10000 + 0.5)/10000 — every step is a deterministic IEEE op, so
+    Spark and DuckDB (mirror: ``floor(x*10000 + 0.5)/10000``) agree bit for
+    bit. Spark's F.round instead rounds the SHORTEST DECIMAL REPR of the
+    double (BigDecimal.valueOf), which DuckDB's binary round diverges from
+    exactly at .xxxx5 boundaries — a divergence that first materialized at
+    sf0.1 (quality_score 0.5983 vs 0.5982). Use this for any rounded
+    quotient that feeds the cross-engine hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(10000) + F.lit(0.5)).cast("double") / F.lit(10000.0)
+
+
+SQL_ROUND4_STABLE = "floor(({x}) * 10000 + 0.5) / 10000"

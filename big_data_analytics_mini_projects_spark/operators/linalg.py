@@ -28,16 +28,22 @@ def matmul_coo(cells: DataFrame, m_name: str = "M", n_name: str = "N") -> DataFr
     sources carry repeated cells (e.g. 600k raw rows folded into an 8x8
     index space -> ~10^10 join rows without canonicalization).
     """
+    # The summed cells are cast back DOWN to DECIMAL(18,4): Spark widens
+    # SUM(DECIMAL(18,4)) to (28,4), and a (28,4)x(28,4) product exceeds
+    # precision 38, so Spark's allowPrecisionLoss kicks in and ROUNDS each
+    # product at scale 6 — which diverged from the exact product by 2e-5 at
+    # sf0.1 magnitudes. (18,4)x(18,4) -> (37,8) stays exact end to end (the
+    # DuckDB oracle mirrors the same downcast for the same reason).
     m = (
         cells.filter(F.col("name") == m_name)
         .groupBy("i", "j")
-        .agg(F.sum(F.col("v").cast("decimal(18,4)")).alias("mv"))
+        .agg(F.sum(F.col("v").cast("decimal(18,4)")).cast("decimal(18,4)").alias("mv"))
         .select(F.col("i").alias("mi"), F.col("j").alias("mj"), "mv")
     )
     n = (
         cells.filter(F.col("name") == n_name)
         .groupBy("i", "j")
-        .agg(F.sum(F.col("v").cast("decimal(18,4)")).alias("nv"))
+        .agg(F.sum(F.col("v").cast("decimal(18,4)")).cast("decimal(18,4)").alias("nv"))
         .select(F.col("i").alias("ni"), F.col("j").alias("nj"), "nv")
     )
     return (

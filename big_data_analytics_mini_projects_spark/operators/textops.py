@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import h64_sql  # noqa: F401  (oracle builders live in plans)
+from ..functions.text import round4_stable
 
 #: Stopword list for quality scoring — literal, mirrored in the SQL oracle.
 STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it")
@@ -107,14 +108,17 @@ def text_quality(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -
         + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
         + F.lit(0.3) * ttr
     )
+    # round4_stable, not F.round: the score sits on .xxxx5 boundaries at
+    # corpus scale and Spark's shortest-repr rounding diverges from any
+    # binary-value rounding there (first seen at sf0.1).
     return d.select(
         key,
         "n_tokens",
         "n_types",
-        F.round(avg_len, 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(ttr, 4).alias("type_token_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        round4_stable(avg_len).alias("avg_token_len"),
+        round4_stable(stop_ratio).alias("stopword_ratio"),
+        round4_stable(ttr).alias("type_token_ratio"),
+        round4_stable(score).alias("quality_score"),
     )
 
 

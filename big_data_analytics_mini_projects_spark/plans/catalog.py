@@ -38,6 +38,8 @@ from .registry import QUERIES, QuerySpec, register  # noqa: F401
 #    round-3 curation/graph module) --
 from . import qaq  # noqa: F401  (PMI, chi-square drift, PNG codec, session windows, range overlap)
 from . import curationq  # noqa: F401  (round-3: dup-n-gram coverage, repetition, contamination, prefix join, triangles)
+from . import qualityq  # noqa: F401  (round-3 precision fix: text_quality + corpus_prep_pipeline stable rounding)
+from . import linalgq  # noqa: F401  (round-3 precision fix: exact-decimal matmul products at sf0.1 magnitudes)
 
 # -- tier 2: rewritten-in-round-2 modules (driver rows predate the rewrite)
 #    plus all round-3 additions --
@@ -52,7 +54,7 @@ from . import decisionq  # noqa: F401  (round-3: TPC-H Q4 EXISTS semi, Q13 outer
 # -- tier 3: window fill — verdicts are round-1 but code unchanged since --
 from . import core  # noqa: F401  (relational / TPC-H / JSON / window)
 from . import textq  # noqa: F401  (tokenizers / word count / set ops / mean-chars)
-from . import linalgq  # noqa: F401  (COO matmul)
+from . import baselineq  # noqa: F401  (r1-green unchanged vector baselines, demoted to free window slots)
 
 # -- tier 4: fully green in round 2 on current code --
 from . import multimodalq  # noqa: F401  (multimodal decode plumbing + streaming)

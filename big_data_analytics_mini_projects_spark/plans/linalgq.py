@@ -43,11 +43,22 @@ def matmul_coo_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "matmul_lineitem",
     oracle=(
         f"WITH cells AS ({_SQL_CELLS}), "
-        "m AS (SELECT i, j, SUM(CAST(v AS DECIMAL(18,4))) AS v FROM cells "
-        "WHERE name = 'M' GROUP BY i, j), "
-        "n AS (SELECT i, j, SUM(CAST(v AS DECIMAL(18,4))) AS v FROM cells "
-        "WHERE name = 'N' GROUP BY i, j) "
-        "SELECT m.i AS i, n.j AS j, CAST(SUM(m.v * n.v) AS DOUBLE) AS val "
+        # Two DuckDB pitfalls found at sf0.1 (verified against exact Python
+        # Decimal arithmetic; Spark's decimal path was already exact):
+        # (a) SUM widens the cells to DECIMAL(38,4) and a (38,4)x(38,4)
+        #     product exceeds width 38 -> silent DOUBLE fallback; the
+        #     (19,4)x(18,4) downcasts force the int128 multiply (-> 37,8).
+        # (b) DuckDB rewrites CAST(SUM(decimal) AS DOUBLE) into a
+        #     sum-in-double (order-dependent: ...86.99998 vs exact ...87.0);
+        #     the VARCHAR bridge keeps the sum decimal and converts the
+        #     exact printed value, matching Spark's correctly-rounded
+        #     decimal->double cast.
+        "m AS (SELECT i, j, CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS v "
+        "FROM cells WHERE name = 'M' GROUP BY i, j), "
+        "n AS (SELECT i, j, CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v "
+        "FROM cells WHERE name = 'N' GROUP BY i, j) "
+        "SELECT m.i AS i, n.j AS j, "
+        "CAST(CAST(SUM(m.v * n.v) AS VARCHAR) AS DOUBLE) AS val "
         "FROM m JOIN n ON m.j = n.i GROUP BY m.i, n.j"
     ),
     doc="Distributed sparse matmul as equi-join + sum aggregation "

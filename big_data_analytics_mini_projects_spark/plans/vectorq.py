@@ -10,12 +10,9 @@ from ..operators.vector import (
     N_BANDS,
     N_PLANES,
     bucketed_near_pairs,
-    cosine_topk,
     cosine_topk_blocked,
     cosine_topk_multiprobe,
     diversity_by_group,
-    embedding_near_pairs,
-    hyperplane_buckets,
     hyperplane_signs,
     prepare_vectors,
 )
@@ -37,28 +34,6 @@ _SQL_COS = (
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_vectors(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "ann_cosine_topk",
-    oracle=(
-        f"WITH {_SQL_VECS}, q AS (SELECT * FROM e WHERE vec_id < {TOPK_QUERIES}), "
-        f"pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cos "
-        "FROM q, e WHERE q.vec_id <> e.vec_id) "
-        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM ("
-        "SELECT *, row_number() OVER (PARTITION BY query_id "
-        "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM pairs) "
-        f"WHERE rank <= {TOPK_K}"
-    ),
-    doc="Brute-force cosine top-k over the embedding column — the exact "
-    "baseline every ANN variant is measured against; JVM-side array folds, "
-    "no Python in the loop.",
-    tags=("ann", "similarity_search"),
-)
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vectors(spark, sf_dir)
-    out = cosine_topk(vecs, vecs.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K)
-    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
 
 @register(
@@ -85,28 +60,6 @@ def ann_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=(
-        f"WITH {_SQL_VECS}, s AS (SELECT * FROM e WHERE vec_id % {NEAR_SUBSET_MOD} = 0) "
-        "SELECT q.vec_id AS ka, e.vec_id AS kb, round("
-        "list_dot_product(q.v, e.v) / (sqrt(list_dot_product(q.v, q.v)) * "
-        "sqrt(list_dot_product(e.v, e.v))), 6) AS cos "
-        "FROM s q JOIN s e ON q.vec_id < e.vec_id "
-        "WHERE list_dot_product(q.v, e.v) / (sqrt(list_dot_product(q.v, q.v)) * "
-        f"sqrt(list_dot_product(e.v, e.v))) >= {NEAR_MIN_COS}"
-    ),
-    doc="Embedding-cosine near-duplicate pairs over a deterministic subset "
-    "(all-pairs verify step of a cosine dedup; blocking comes from the "
-    "hyperplane sketch at scale).",
-    tags=("dedup", "ann"),
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vectors(spark, sf_dir).filter(F.col("vec_id") % NEAR_SUBSET_MOD == 0)
-    out = embedding_near_pairs(vecs, NEAR_MIN_COS)
-    return out.select("ka", "kb", F.round("cos", 6).alias("cos"))
-
-
 def _sql_bucket_expr() -> str:
     terms = []
     for i, plane in enumerate(hyperplane_signs()):
@@ -116,44 +69,6 @@ def _sql_bucket_expr() -> str:
             f"THEN {1 << i} ELSE 0 END)"
         )
     return " + ".join(terms)
-
-
-@register(
-    "ann_hyperplane_buckets",
-    oracle=(
-        f"WITH {_SQL_VECS} "
-        f"SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec FROM "
-        f"(SELECT vec_id, {_sql_bucket_expr()} AS bucket FROM e) "
-        "GROUP BY bucket"
-    ),
-    doc="16-bit signed-random-projection (hyperplane LSH) bucket histogram: "
-    "the cosine-similarity blocking key; ±1 hyperplanes derived from the "
-    "cross-engine hash at plan build, folded as constant arrays.",
-    tags=("ann", "lsh_band"),
-)
-def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = hyperplane_buckets(_vectors(spark, sf_dir))
-    return b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec")
-    )
-
-
-@register(
-    "embedding_label_stats",
-    oracle=(
-        "SELECT label, COUNT(*) AS n, "
-        "round(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) "
-        "AS avg_norm FROM embeddings GROUP BY label"
-    ),
-    doc="Per-cell vector statistics (count, mean L2 norm) — the bookkeeping "
-    "aggregate an IVF index maintains per cell.",
-    tags=("ann", "agg_mean_std"),
-)
-def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vectors(spark, sf_dir)
-    return vecs.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm")
-    )
 
 
 def _sql_band_bucket(b: int) -> str:
