@@ -50,3 +50,20 @@ def test_load_table_normalizes_every_ts_encoding(spark, tmp_path, unit, tz):
     assert got == sorted(INSTANTS_US), (unit, tz)
     # the rebuilt ts column must be event-time-windowable (plain timestamp)
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+@pytest.mark.parametrize(
+    "unit,tz",
+    [("ns", None), ("us", None), ("us", "UTC")],
+    ids=["nanos-as-bigint", "micros-ntz", "micros-utc"],
+)
+def test_events_stream_normalizes_every_ts_encoding(spark, tmp_path, unit, tz):
+    from big_data_analytics_mini_projects_spark.streaming.stream_stats import (
+        events_stream,
+        run_available_now,
+    )
+
+    sf_dir = _write(str(tmp_path), unit, tz)
+    sdf = events_stream(spark, sf_dir)
+    out = run_available_now(sdf.select("ts_us"), output_mode="append")
+    assert sorted(r["ts_us"] for r in out.collect()) == sorted(INSTANTS_US), (unit, tz)
