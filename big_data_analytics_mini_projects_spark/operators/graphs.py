@@ -19,19 +19,19 @@ No windows, no driver round trips.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..caching import persist_tracked
 
 
 def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """Count distinct triangles in the undirected simple graph induced by
     ``edges`` (self-loops dropped, direction and duplicates ignored).
     Returns a single row (n_nodes, n_edges, n_triangles)."""
-    und = (
+    und = persist_tracked(
         edges.select(
             F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -44,14 +44,13 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     lower_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
     )
-    oriented = (
+    oriented = persist_tracked(
         und.join(da, "a")
         .join(db, "b")
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-        .persist()
     )
     w1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     w2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.text import ngram_expr
+from ..caching import persist_tracked
 
 #: (pos, 2^pos) literals for 60-bit arithmetic — double pow() is inexact past
 #: 2^53, so both engines get the exact powers as data, not math.
@@ -83,7 +84,7 @@ def minhash_jaccard(
     ``sigs`` feeds both sides of the self-join; persisting it computes the
     signature pipeline once instead of once per branch (the aliases differ,
     so Catalyst's ReuseExchange cannot dedupe them by itself)."""
-    sigs = sigs.persist()
+    sigs = persist_tracked(sigs)
     a = sigs.select(F.col(key).alias("ka"), "seed", F.col("mh").alias("mha"))
     b = sigs.select(F.col(key).alias("kb"), "seed", F.col("mh").alias("mhb"))
     return (
@@ -116,7 +117,7 @@ def lsh_candidates(bands: DataFrame, key: str = "doc_id") -> DataFrame:
 
     Persists ``bands`` (keys × b rows, tiny next to the corpus) so the
     signature+banding pipeline runs once, not once per self-join side."""
-    bands = bands.persist()
+    bands = persist_tracked(bands)
     a = bands.select(F.col(key).alias("ka"), "band", "band_sig")
     b = bands.select(F.col(key).alias("kb"), "band", "band_sig")
     return (
@@ -188,7 +189,7 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 8, key: str = "doc_id"
     ``sim`` (one row per key) is referenced six times below (4 block slices +
     both verification sides) — persisted so the fingerprint pipeline runs
     once."""
-    sim = sim.persist()
+    sim = persist_tracked(sim)
     blocks = None
     for blk in range(4):
         part = sim.select(
@@ -236,10 +237,9 @@ def connected_components(
       per-round join shape, O(log²) rounds.
     """
     fwd = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
-    edges = (
+    edges = persist_tracked(
         fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -298,11 +298,10 @@ def connected_components_twophase(
     (label = min node id of the component).
     """
     raw = pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
-    nodes = (
+    nodes = persist_tracked(
         raw.select(F.col("u").alias("node"))
         .unionAll(raw.select(F.col("v").alias("node")))
         .distinct()
-        .persist()
     )
     edges = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
     prev = None
@@ -382,7 +381,7 @@ def ngram_jaccard_pairs(
 
     ``shingles`` is read by the df counter, both join sides, and the size
     table — persisted so shingling runs once."""
-    shingles = shingles.persist()
+    shingles = persist_tracked(shingles)
     freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # The rare-shingle list is vocabulary-scale (grows with the corpus) — no
     # broadcast hint; AQE promotes it when it is actually small and falls
@@ -444,11 +443,10 @@ def jaccard_prefix_pairs(
     """
     # One groupBy gives both the verify arrays and the sizes; doc partition
     # is bounded by document length, never corpus size.
-    doc_sets = (
+    doc_sets = persist_tracked(
         shingles.groupBy(key)
         .agg(F.collect_set("shingle").alias("shs"))
         .withColumn("n_sh", F.size("shs"))
-        .persist()
     )
     sh = doc_sets.select(key, "n_sh", F.explode("shs").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

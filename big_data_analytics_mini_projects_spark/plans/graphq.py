@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import load_table
 from .registry import register
+from ..caching import persist_tracked
 
 DAMPING = 0.85
 N_PR_ITERS = 3
@@ -81,21 +82,20 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        # Cached: the union's two branches, the out-weight aggregate, and the
-        # transition join all read e0 — without this the lineitem join runs 4x.
-        .persist()
     )
+    # Cached: the union's two branches, the out-weight aggregate, and the
+    # transition join all read e0 — without this the lineitem join runs 4x.
+    e0 = persist_tracked(e0)
     e = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     # Transition matrix, built once and reused by every iteration.
-    edges = (
+    edges = persist_tracked(
         e.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-        .persist()
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     # |V| as a driver scalar — the bounded scalar-collect class (same as the
     # two-pass sampler's entity count); deriving it from the PERSISTED edge
     # cache keeps the expensive lineitem join from being rebuilt per use.

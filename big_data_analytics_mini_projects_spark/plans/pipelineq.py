@@ -28,6 +28,7 @@ from ..operators.vector import _dot, prepare_vectors
 from ..functions.text import sql_tokens_ws, tokenize_ws
 from ..sources.tables import load_table, spread
 from .registry import register
+from ..caching import persist_tracked
 
 #: Incremental dedup: docs with doc_id % SHARD_MOD == 0 play the incoming
 #: shard; the rest are the standing corpus.
@@ -84,7 +85,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
     )
-    sh = ngram_shingles(docs, n=3).persist()
+    sh = persist_tracked(ngram_shingles(docs, n=3))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Rare-shingle list is vocabulary-scale — unhinted, AQE decides
     # (same reasoning as ngram_jaccard_pairs / bm25's dfreq join).
@@ -265,9 +266,9 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize_ws(spread(docs.select("doc_id", "text"))).select(
-        "doc_id", "word"
-    ).persist()
+    toks = persist_tracked(
+        tokenize_ws(spread(docs.select("doc_id", "text"))).select("doc_id", "word")
+    )
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("dfreq"))

@@ -16,6 +16,7 @@ from ..operators.multimodal import decode_png_stats, synth_png_payloads
 from ..sources.tables import load_table, spread
 from ..streaming.stream_stats import events_stream, run_available_now
 from .registry import register
+from ..caching import persist_tracked
 
 PMI_MIN_PAIR = 5  # pair-count floor: rare pairs have unstable PMI
 PMI_TOPK = 30
@@ -63,7 +64,8 @@ def pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
             )
         ).alias("pr")
-    ).select("pr.w1", "pr.w2").persist()
+    ).select("pr.w1", "pr.w2")
+    pairs = persist_tracked(pairs)
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).filter(
         F.col("c12") >= PMI_MIN_PAIR
     )

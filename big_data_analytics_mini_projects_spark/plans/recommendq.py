@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.recommend import cf_filter_ratings, cf_item_similarities, cf_predict
 from .shared import SQL_RATINGS_DEDUP, ratings_deduped
 from .registry import register
+from ..caching import persist_tracked
 
 #: Deterministic target-item predicates, identical in both engines.
 SIM_TARGETS = 50   # item % 50 == 0
@@ -53,7 +54,7 @@ def _filtered_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The dedupe + two-stage support filter is 3 shuffles over the full
     # ratings derivation; downstream it feeds the similarity self-join (3
     # refs) and prediction (2 more). Persist -> computed once per query.
-    return cf_filter_ratings(ratings_deduped(spark, sf_dir)).persist()
+    return persist_tracked(cf_filter_ratings(ratings_deduped(spark, sf_dir)))
 
 
 @register(

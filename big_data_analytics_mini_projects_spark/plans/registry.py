@@ -17,7 +17,14 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..caching import release_persisted
+
 Builder = Callable[[SparkSession, str], DataFrame]
+
+#: Module of the most recently built query — persisted intermediates are
+#: shared within a module family (see caching.py) and released when query
+#: execution crosses into the next module.
+_last_built_module: str | None = None
 
 
 @dataclass(frozen=True)
@@ -43,7 +50,20 @@ def register(
     def deco(fn: Builder) -> Builder:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), tags, bench)
+
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Family-boundary cache cleanup: queries in one module share
+            # persisted intermediates; entering a different module releases
+            # the previous family's blocks (caching.py). Builders invoked
+            # directly as functions (query composition) bypass this wrapper
+            # on purpose — only top-level catalog execution rotates caches.
+            global _last_built_module
+            if _last_built_module is not None and _last_built_module != fn.__module__:
+                release_persisted()
+            _last_built_module = fn.__module__
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = QuerySpec(name, build, oracle, doc or (fn.__doc__ or ""), tags, bench)
         return fn
 
     return deco

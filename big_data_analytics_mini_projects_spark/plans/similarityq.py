@@ -26,6 +26,7 @@ from ..operators.similarity import (
 from ..functions.text import sql_tokens_ws, tokenize_ws
 from ..sources.tables import load_table, spread
 from .registry import register
+from ..caching import persist_tracked
 
 NUM_HASHES = 32
 ROWS_PER_BAND = 4  # -> 8 bands; s* = (1/8)^(1/4) ~ 0.6 dedup threshold
@@ -172,9 +173,9 @@ scored AS (SELECT ka, kb,
 
 def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _SQL_SCORED: (ka, kb, est) near-dup pairs."""
-    sigs = minhash_signatures(
+    sigs = persist_tracked(minhash_signatures(
         _shingles(spark, sf_dir), token_col="shingle", num_hashes=NUM_HASHES
-    ).persist()
+    ))
     cand = lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND))
     sa = sigs.select(F.col("doc_id").alias("ka"), "seed", F.col("mh").alias("mha"))
     sb = sigs.select(F.col("doc_id").alias("kb"), "seed", F.col("mh").alias("mhb"))

@@ -26,6 +26,7 @@ from ..functions.text import A3_TOKEN_PATTERN_SQL, tokenize_regex
 from ..operators.stats import ols_multi_closed, ols_simple_closed
 from ..sources.tables import load_table, spread
 from .registry import register
+from ..caching import persist_tracked
 
 TOP_K = 30
 
@@ -59,8 +60,8 @@ def word_observations(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataF
     )
     # consumed by per-doc totals, the top-K list, AND per-(doc,word) counts:
     # persist so the regex tokenize runs once, in parallel
-    words = (
-        tokenize_regex(docs.select("doc_id", "text")).select("doc_id", "word").persist()
+    words = persist_tracked(
+        tokenize_regex(docs.select("doc_id", "text")).select("doc_id", "word")
     )
     tot = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
     top = (

@@ -15,6 +15,7 @@ from ..operators.textops import (
 )
 from ..sources.tables import load_table, spread
 from .registry import register
+from ..caching import persist_tracked
 
 _SQL_TRIGRAMS = """
 tg AS (SELECT doc_id, unnest(CASE WHEN length(lower(text)) >= 3 THEN
@@ -51,7 +52,7 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one trigram explode + aggregate, persisted; profile training and
     # classification both consume the compact per-doc counts
-    doc_tg = doc_trigram_counts(docs).persist()
+    doc_tg = persist_tracked(doc_trigram_counts(docs))
     profiles = lang_trigram_profiles(
         doc_tg.join(docs.select("doc_id", "lang"), "doc_id")
     )
