@@ -108,17 +108,36 @@ def ngram_expr(n: int, tokens_col: str = "toks") -> str:
     )
 
 
-def round4_stable(col: Column | str) -> Column:
-    """Half-up rounding at 4 decimals computed ON THE BINARY double:
-    floor(x*10000 + 0.5)/10000 — every step is a deterministic IEEE op, so
-    Spark and DuckDB (mirror: ``floor(x*10000 + 0.5)/10000``) agree bit for
-    bit. Spark's F.round instead rounds the SHORTEST DECIMAL REPR of the
-    double (BigDecimal.valueOf), which DuckDB's binary round diverges from
-    exactly at .xxxx5 boundaries — a divergence that first materialized at
-    sf0.1 (quality_score 0.5983 vs 0.5982). Use this for any rounded
-    quotient that feeds the cross-engine hash."""
+def round_stable(col: Column | str, digits: int = 4) -> Column:
+    """Half-up rounding at ``digits`` decimals computed ON THE BINARY double:
+    floor(x*10^d + 0.5)/10^d — every step is a deterministic IEEE op, so
+    Spark and DuckDB (mirror: :func:`sql_round_stable`) agree bit for bit.
+    Spark's F.round instead rounds the SHORTEST DECIMAL REPR of the double
+    (BigDecimal.valueOf), which DuckDB's binary round diverges from exactly
+    at boundary halves — a divergence that first materialized at sf0.1
+    (quality_score 0.5983 vs 0.5982). Use this for any rounded double
+    (quotient, log, sqrt, ...) that feeds the cross-engine hash.
+
+    Note on negatives: floor(x*s + 0.5) rounds half-cases toward +inf (not
+    away from zero) — a convention, applied identically in both engines,
+    which is the only property the differential gate needs.
+    F.floor on a double yields a long, so |x| must stay < 2^63/10^d —
+    holds by orders of magnitude for every rounded statistic here."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * F.lit(10000) + F.lit(0.5)).cast("double") / F.lit(10000.0)
+    scale = float(10**digits)
+    return F.floor(c * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(scale)
+
+
+def round4_stable(col: Column | str) -> Column:
+    """:func:`round_stable` at the reference's 4 decimals
+    (MRSystemSimulator2020.py:245)."""
+    return round_stable(col, 4)
+
+
+def sql_round_stable(expr: str, digits: int = 4) -> str:
+    """DuckDB twin of :func:`round_stable` — identical IEEE operation order."""
+    scale = 10**digits
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
 
 SQL_ROUND4_STABLE = "floor(({x}) * 10000 + 0.5) / 10000"

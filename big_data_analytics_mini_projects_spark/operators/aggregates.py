@@ -12,6 +12,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.text import round_stable
+
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
     """Exact (decimal) sum of a double column, returned as double.
@@ -56,9 +58,12 @@ def mean_std_chars(
         .agg(F.sum("c").alias("s1"), F.sum(F.col("c") * F.col("c")).alias("s2"))
         .select(
             F.col(ch),
-            F.round(F.col("s1") / n, 4).alias("mean"),
-            F.round(
-                F.sqrt(F.col("s2") / n - (F.col("s1") / n) * (F.col("s1") / n)), 4
+            # round_stable, not F.round: s1/s2 are exact integers so the
+            # quotients are bit-identical across engines — the stable form
+            # keeps the .xxxx5 half-case rounding identical too.
+            round_stable(F.col("s1") / n).alias("mean"),
+            round_stable(
+                F.sqrt(F.col("s2") / n - (F.col("s1") / n) * (F.col("s1") / n))
             ).alias("std"),
         )
     )

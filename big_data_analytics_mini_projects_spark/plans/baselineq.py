@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.text import round_stable, sql_round_stable
 from ..operators.vector import cosine_topk, embedding_near_pairs, hyperplane_buckets
 from .registry import register
 from .vectorq import (
@@ -29,7 +30,7 @@ from .vectorq import (
         f"WITH {_SQL_VECS}, q AS (SELECT * FROM e WHERE vec_id < {TOPK_QUERIES}), "
         f"pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cos "
         "FROM q, e WHERE q.vec_id <> e.vec_id) "
-        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM ("
+        f"SELECT query_id, neighbor_id, rank, {sql_round_stable('cos', 6)} AS cos FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM pairs) "
         f"WHERE rank <= {TOPK_K}"
@@ -42,16 +43,18 @@ from .vectorq import (
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     out = cosine_topk(vecs, vecs.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K)
-    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    return out.select("query_id", "neighbor_id", "rank", round_stable("cos", 6).alias("cos"))
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=(
         f"WITH {_SQL_VECS}, s AS (SELECT * FROM e WHERE vec_id % {NEAR_SUBSET_MOD} = 0) "
-        "SELECT q.vec_id AS ka, e.vec_id AS kb, round("
-        "list_dot_product(q.v, e.v) / (sqrt(list_dot_product(q.v, q.v)) * "
-        "sqrt(list_dot_product(e.v, e.v))), 6) AS cos "
+        "SELECT q.vec_id AS ka, e.vec_id AS kb, "
+        + sql_round_stable(
+            "list_dot_product(q.v, e.v) / (sqrt(list_dot_product(q.v, q.v)) * "
+            "sqrt(list_dot_product(e.v, e.v)))", 6)
+        + " AS cos "
         "FROM s q JOIN s e ON q.vec_id < e.vec_id "
         "WHERE list_dot_product(q.v, e.v) / (sqrt(list_dot_product(q.v, q.v)) * "
         f"sqrt(list_dot_product(e.v, e.v))) >= {NEAR_MIN_COS}"
@@ -64,7 +67,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir).filter(F.col("vec_id") % NEAR_SUBSET_MOD == 0)
     out = embedding_near_pairs(vecs, NEAR_MIN_COS)
-    return out.select("ka", "kb", F.round("cos", 6).alias("cos"))
+    return out.select("ka", "kb", round_stable("cos", 6).alias("cos"))
 
 
 @register(
@@ -91,8 +94,9 @@ def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_stats",
     oracle=(
         "SELECT label, COUNT(*) AS n, "
-        "round(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) "
-        "AS avg_norm FROM embeddings GROUP BY label"
+        + sql_round_stable(
+            "AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))")
+        + " AS avg_norm FROM embeddings GROUP BY label"
     ),
     doc="Per-cell vector statistics (count, mean L2 norm) — the bookkeeping "
     "aggregate an IVF index maintains per cell.",
@@ -101,5 +105,5 @@ def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     return vecs.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm")
+        F.count(F.lit(1)).alias("n"), round_stable(F.avg("norm")).alias("avg_norm")
     )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.text import round_stable, sql_round_stable
 from ..operators.aggregates import dsum, sql_dsum
 from ..operators.relational import (
     join_anti,
@@ -21,7 +22,12 @@ from ..operators.relational import (
 from ..sources.tables import load_table
 from .registry import register
 
-from .shared import RATING_EXPR, SQL_RATINGS_DEDUP, ratings_deduped  # noqa: F401  (re-export; helpers live in shared.py so importing them has no registration side effects)
+from .shared import (  # noqa: F401  (re-export; helpers live in shared.py so importing them has no registration side effects)
+    RATING_EXPR,
+    SQL_RATINGS_DEDUP,
+    SQL_RATINGS_DEDUP_LAST_SEEN,
+    ratings_deduped,
+)
 
 
 # Registered first within this module: its round-1 oracle hash-failed (the
@@ -34,9 +40,11 @@ from .shared import RATING_EXPR, SQL_RATINGS_DEDUP, ratings_deduped  # noqa: F40
         # Outer CAST: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in pandas,
         # mismatching Spark's int64 in the driver's dtype-sensitive value-hash.
         "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
-        "round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) "
-        "/ COUNT(*), 4) AS avg_k "
-        "FROM events GROUP BY event_type"
+        + sql_round_stable(
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)"
+            " / COUNT(*)"
+        )
+        + " AS avg_k FROM events GROUP BY event_type"
     ),
     doc="JSON field projection from the events.props string column "
     "(project_json, a3_p1.py:17-27 json.loads field access).",
@@ -48,7 +56,7 @@ def project_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("k").alias("sum_k"),
-        F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+        round_stable(F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
     )
 
 
@@ -57,8 +65,8 @@ def project_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         f"WITH r AS ({SQL_RATINGS_DEDUP}) "
         "SELECT item, COUNT(*) AS n_ratings, "
-        "round(CAST(SUM(rating) AS DOUBLE) / COUNT(*), 4) AS avg_rating "
-        "FROM r GROUP BY item"
+        + sql_round_stable("CAST(SUM(rating) AS DOUBLE) / COUNT(*)")
+        + " AS avg_rating FROM r GROUP BY item"
     ),
     doc="Most-recent-rating-per-(user,item) dedupe then per-item stats "
     "(agg_last_per_key, a3_p2.py:18-22).",
@@ -68,7 +76,33 @@ def ratings_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ratings_deduped(spark, sf_dir)
     return r.groupBy("item").agg(
         F.count(F.lit(1)).alias("n_ratings"),
-        F.round(F.sum("rating").cast("double") / F.count(F.lit(1)), 4).alias("avg_rating"),
+        round_stable(F.sum("rating").cast("double") / F.count(F.lit(1))).alias("avg_rating"),
+    )
+
+
+@register(
+    "ratings_last_seen_compat",
+    oracle=(
+        f"WITH r AS ({SQL_RATINGS_DEDUP_LAST_SEEN}) "
+        "SELECT item, COUNT(*) AS n_ratings, "
+        + sql_round_stable("CAST(SUM(rating) AS DOUBLE) / COUNT(*)")
+        + " AS avg_rating FROM r GROUP BY item"
+    ),
+    doc="SURVEY.md §7.4 wart-#4 compatibility flag: the reference dedupes "
+    "ratings with reduceByKey(lambda a,b: b) — LAST SEEN in arrival order, "
+    "not the spec's most-recent (a3_p2.py:22). ratings_deduped("
+    "mode='last_seen') reproduces that semantics with (l_orderkey, "
+    "l_linenumber) as the deterministic arrival-order surrogate; same "
+    "per-item rollup as ratings_last_per_key, so the two queries' outputs "
+    "differ exactly where the wart bites (later-keyed row, earlier ship "
+    "date).",
+    tags=("agg_last_per_key", "compat", "window"),
+)
+def ratings_last_seen_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings_deduped(spark, sf_dir, mode="last_seen")
+    return r.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        round_stable(F.sum("rating").cast("double") / F.count(F.lit(1))).alias("avg_rating"),
     )
 
 
@@ -179,8 +213,8 @@ def broadcast_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sql_dsum('l_extendedprice')} AS sum_base_price, "
         f"{sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price, "
         f"{sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge, "
-        f"round({sql_dsum('l_quantity')} / COUNT(*), 4) AS avg_qty, "
-        f"round({sql_dsum('l_extendedprice')} / COUNT(*), 4) AS avg_price, "
+        f"{sql_round_stable(sql_dsum('l_quantity') + ' / COUNT(*)')} AS avg_qty, "
+        f"{sql_round_stable(sql_dsum('l_extendedprice') + ' / COUNT(*)')} AS avg_price, "
         "COUNT(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus"
@@ -201,8 +235,8 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_base_price"),
             dsum(disc_price, 4).alias("sum_disc_price"),
             dsum(charge, 6).alias("sum_charge"),
-            F.round(dsum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
-            F.round(dsum("l_extendedprice") / F.count(F.lit(1)), 4).alias("avg_price"),
+            round_stable(dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            round_stable(dsum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -20,6 +20,7 @@ from ..operators.curation import (
 )
 from ..operators.graphs import triangle_count
 from ..functions.hashing import h64
+from ..functions.text import round_stable, sql_round_stable
 from ..operators.similarity import jaccard_prefix_pairs, ngram_shingles
 from ..sources.tables import load_table, spread
 from .registry import register
@@ -58,7 +59,7 @@ def _docs_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         f"WITH {_SQL_TOKS}, {_sql_grams(5, distinct=False)}, "
         "df AS (SELECT gram, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY gram) "
-        "SELECT doc_id, n_grams, n_dup, round(CAST(n_dup AS DOUBLE) / n_grams, 4) "
+        f"SELECT doc_id, n_grams, n_dup, {sql_round_stable('CAST(n_dup AS DOUBLE) / n_grams')} "
         "AS dup_frac FROM ("
         "SELECT doc_id, COUNT(*) AS n_grams, "
         "CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
@@ -74,7 +75,7 @@ def dup_ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = ngram_stream(_docs_toks(spark, sf_dir), n=5)
     cov = dup_ngram_coverage(grams)
     return cov.select(
-        "doc_id", "n_grams", "n_dup", F.round("dup_frac", 4).alias("dup_frac")
+        "doc_id", "n_grams", "n_dup", round_stable("dup_frac").alias("dup_frac")
     )
 
 
@@ -90,8 +91,8 @@ def dup_ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mb AS (SELECT doc_id, MAX(c) AS max_bg FROM "
         "(SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram) GROUP BY doc_id) "
         "SELECT doc_id, n_tokens, "
-        "round(CAST(max_tok AS DOUBLE) / n_tokens, 4) AS top_token_frac, "
-        "round(2.0 * max_bg / n_tokens, 4) AS top_bigram_frac "
+        f"{sql_round_stable('CAST(max_tok AS DOUBLE) / n_tokens')} AS top_token_frac, "
+        f"{sql_round_stable('2.0 * max_bg / n_tokens')} AS top_bigram_frac "
         "FROM sizes JOIN mt USING (doc_id) JOIN mb USING (doc_id)"
     ),
     doc="Gopher/MassiveText repetition filters (Rae et al. 2021 §A1): "
@@ -105,8 +106,8 @@ def repetition_ratios_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.round("top_token_frac", 4).alias("top_token_frac"),
-        F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+        round_stable("top_token_frac").alias("top_token_frac"),
+        round_stable("top_bigram_frac").alias("top_bigram_frac"),
     )
 
 
@@ -141,7 +142,8 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id "
         "GROUP BY a.doc_id, b.doc_id) "
         "SELECT ka, kb, n_common, "
-        "round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard "
+        + sql_round_stable("CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)")
+        + " AS jaccard "
         "FROM common JOIN sizes sa ON ka = sa.doc_id JOIN sizes sb ON kb = sb.doc_id "
         "WHERE 10 * n_common >= 6 * (sa.n_sh + sb.n_sh - n_common)"
     ),
@@ -157,7 +159,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = ngram_shingles(_docs_toks(spark, sf_dir), n=3)
     pairs = jaccard_prefix_pairs(sh, tau_tenths=6)
     return pairs.select(
-        "ka", "kb", "n_common", F.round("jaccard", 4).alias("jaccard")
+        "ka", "kb", "n_common", round_stable("jaccard").alias("jaccard")
     )
 
 
@@ -246,8 +248,13 @@ MIX_TARGET_BP = 5000
         "quota AS (SELECT source, src_tok, "
         f"CAST((SUM(src_tok) OVER ()) * {MIX_TARGET_BP} // 10000 "
         "// (COUNT(*) OVER ()) AS BIGINT) AS q FROM tot), "
+        # src_tok > 0: a source whose docs all tokenize to zero tokens would
+        # make the rate NULL — both engines happened to agree by ignoring
+        # NULL in LEAST; make the edge explicit instead (such a source keeps
+        # nothing, which the h < rate filter then encodes as rate_bp = 0).
         "rates AS (SELECT source, src_tok, "
-        "CAST(LEAST(10000, q * 10000 // src_tok) AS BIGINT) AS rate_bp FROM quota) "
+        "CAST(LEAST(10000, q * 10000 // src_tok) AS BIGINT) AS rate_bp "
+        "FROM quota WHERE src_tok > 0) "
         "SELECT d.source, rate_bp, COUNT(*) AS n_docs_kept, "
         "CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept "
         "FROM d JOIN rates ON d.source = rates.source "
@@ -280,7 +287,7 @@ def corpus_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (count(1) over ())"
         ),
     )
-    rates = quota.select(
+    rates = quota.filter(F.col("src_tok") > 0).select(
         "source",
         "src_tok",
         F.least(F.lit(10000), F.expr("(q * 10000) div src_tok"))

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
+from ..functions.text import round_stable
 from ..operators.textops import STOPWORDS, text_quality, token_counts
 from ..sources.tables import load_table
 from .registry import register
@@ -89,8 +90,8 @@ t AS (
   FROM s)
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(ws) AS BIGINT) AS ws_tokens, CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
-       round(CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
-         AS avg_quality
+       floor((CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+             * 10000 + 0.5) / 10000 AS avg_quality
 FROM t GROUP BY source
 """
 
@@ -132,9 +133,8 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ws_tokens").alias("ws_tokens"),
         F.sum("bpe_tokens").alias("bpe_tokens"),
-        F.round(
+        round_stable(
             F.sum(F.col("quality_score").cast("decimal(18,4)")).cast("double")
-            / F.count(F.lit(1)),
-            4,
+            / F.count(F.lit(1))
         ).alias("avg_quality"),
     )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.text import round_stable, sql_round_stable
 from ..operators.recommend import cf_filter_ratings, cf_item_similarities, cf_predict
 from .shared import SQL_RATINGS_DEDUP, ratings_deduped
 from .registry import register
@@ -61,7 +62,7 @@ def _filtered_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cf_item_similarity",
     oracle=(
         f"WITH {_SQL_FILTERED}, {_sql_sims(SIM_TARGETS)} "
-        "SELECT item_a, item_b, nc, round(sim, 4) AS sim FROM simsf"
+        f"SELECT item_a, item_b, nc, {sql_round_stable('sim')} AS sim FROM simsf"
     ),
     doc="Centered-cosine item-item similarity for target items (cf_sim, "
     "a3_p2.py:37-49): all targets in one self-join DAG instead of the "
@@ -72,7 +73,7 @@ def _filtered_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf = _filtered_ratings(spark, sf_dir)
     sims = cf_item_similarities(rf, F.col("item_a") % SIM_TARGETS == 0)
-    return sims.select("item_a", "item_b", "nc", F.round("sim", 4).alias("sim"))
+    return sims.select("item_a", "item_b", "nc", round_stable("sim").alias("sim"))
 
 
 def _sql_predict(sims_cte: str) -> str:
@@ -147,7 +148,7 @@ def cf_predict_ratings_k50(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cf_item_similarity_salted",
     oracle=(
         f"WITH {_SQL_FILTERED}, {_sql_sims(SIM_TARGETS)} "
-        "SELECT item_a, item_b, nc, round(sim, 4) AS sim FROM simsf"
+        f"SELECT item_a, item_b, nc, {sql_round_stable('sim')} AS sim FROM simsf"
     ),
     doc="cf_item_similarity through the block-decomposed skew path "
     "(operators/recommend.py cf_item_similarities salt_blocks=4): users with "
@@ -165,4 +166,4 @@ def cf_item_similarity_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = cf_item_similarities(
         rf, F.col("item_a") % SIM_TARGETS == 0, salt_blocks=4, salt_min_ratings=16
     )
-    return sims.select("item_a", "item_b", "nc", F.round("sim", 4).alias("sim"))
+    return sims.select("item_a", "item_b", "nc", round_stable("sim").alias("sim"))

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import (
     A3_TOKEN_PATTERN_SQL,
+    sql_round_stable,
     sql_tokens_char,
     sql_tokens_regex,
     sql_tokens_ws,
@@ -121,8 +122,8 @@ def set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH chars AS ({sql_tokens_char()}), "
         "per_doc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch), "
         "n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents) "
-        "SELECT ch, round(s1 / n_docs, 4) AS mean, "
-        "round(sqrt(s2 / n_docs - (s1 / n_docs) * (s1 / n_docs)), 4) AS std "
+        f"SELECT ch, {sql_round_stable('s1 / n_docs')} AS mean, "
+        f"{sql_round_stable('sqrt(s2 / n_docs - (s1 / n_docs) * (s1 / n_docs))')} AS std "
         "FROM (SELECT ch, SUM(c)::DOUBLE AS s1, SUM(c * c)::DOUBLE AS s2 "
         "FROM per_doc GROUP BY ch), n"
     ),

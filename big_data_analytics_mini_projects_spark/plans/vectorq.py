@@ -16,6 +16,7 @@ from ..operators.vector import (
     hyperplane_signs,
     prepare_vectors,
 )
+from ..functions.text import round_stable, sql_round_stable
 from ..sources.tables import load_table
 from .registry import register
 
@@ -42,7 +43,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH {_SQL_VECS}, q AS (SELECT * FROM e WHERE vec_id < {TOPK_QUERIES}), "
         f"pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cos "
         "FROM q JOIN e ON q.label = e.label WHERE q.vec_id <> e.vec_id) "
-        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM ("
+        f"SELECT query_id, neighbor_id, rank, {sql_round_stable('cos', 6)} AS cos FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM pairs) "
         f"WHERE rank <= {BLOCKED_K}"
@@ -57,7 +58,7 @@ def ann_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk_blocked(
         vecs, vecs.filter(F.col("vec_id") < TOPK_QUERIES), BLOCKED_K
     )
-    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    return out.select("query_id", "neighbor_id", "rank", round_stable("cos", 6).alias("cos"))
 
 
 def _sql_bucket_expr() -> str:
@@ -105,7 +106,7 @@ def _sql_banded() -> str:
         "FROM banded a JOIN banded b "
         "ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id) "
         f"WHERE cos >= {NEAR_MIN_COS}) "
-        "SELECT ka, kb, round(cos, 6) AS cos FROM cand"
+        f"SELECT ka, kb, {sql_round_stable('cos', 6)} AS cos FROM cand"
     ),
     doc="Embedding-cosine dedup at scale: banded SRP blocking (4 bands x 4 "
     "hyperplane sign bits — the minhash-banding OR-construction applied to "
@@ -122,7 +123,7 @@ def _sql_banded() -> str:
 def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     out = bucketed_near_pairs(vecs, NEAR_MIN_COS)
-    return out.select("ka", "kb", F.round("cos", 6).alias("cos"))
+    return out.select("ka", "kb", round_stable("cos", 6).alias("cos"))
 
 
 def _sql_probe_list() -> str:
@@ -142,7 +143,7 @@ def _sql_probe_list() -> str:
         "list_dot_product(q.v, e.v) / (sqrt(list_dot_product(q.v, q.v)) * "
         "sqrt(list_dot_product(e.v, e.v))) AS cos "
         "FROM qp q JOIN eb e ON q.pb = e.bucket WHERE q.vec_id <> e.vec_id) "
-        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM ("
+        f"SELECT query_id, neighbor_id, rank, {sql_round_stable('cos', 6)} AS cos FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM pairs) "
         f"WHERE rank <= {BLOCKED_K}"
@@ -159,7 +160,7 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk_multiprobe(
         vecs, vecs.filter(F.col("vec_id") < TOPK_QUERIES), BLOCKED_K
     )
-    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    return out.select("query_id", "neighbor_id", "rank", round_stable("cos", 6).alias("cos"))
 
 
 @register(
@@ -175,8 +176,8 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM comp GROUP BY label, pos), "
         "sv AS (SELECT label, CAST(SUM(CAST(s * s AS DECIMAL(18,6))) AS DOUBLE) AS sv2 "
         "FROM svp GROUP BY label) "
-        "SELECT label, n, round(s1 / n, 4) AS avg_sq_norm, "
-        "round((2 * n * s1 - 2 * sv2) / (n * (n - 1)), 4) AS mean_pair_sqdist "
+        f"SELECT label, n, {sql_round_stable('s1 / n')} AS avg_sq_norm, "
+        f"{sql_round_stable('(2 * n * s1 - 2 * sv2) / (n * (n - 1))')} AS mean_pair_sqdist "
         "FROM s1 JOIN sv USING (label) WHERE n >= 2"
     ),
     doc="Per-cell embedding diversity WITHOUT pairs: mean squared pairwise "
@@ -192,6 +193,6 @@ def embedding_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return div.select(
         "label",
         "n",
-        F.round("avg_sq_norm", 4).alias("avg_sq_norm"),
-        F.round("mean_pair_sqdist", 4).alias("mean_pair_sqdist"),
+        round_stable("avg_sq_norm").alias("avg_sq_norm"),
+        round_stable("mean_pair_sqdist").alias("mean_pair_sqdist"),
     )
