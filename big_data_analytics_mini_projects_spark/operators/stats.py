@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.stats_math import t_sf
-from ..functions.tdist import with_two_sided_t_pvalue
+from ..functions.tdist import with_two_sided_t_pvalue, with_two_sided_t_pvalue_cf
 
 SIMPLE_SCHEMA = (
     "word string, n long, beta double, t_stat double, p_value double, p_bonf double"
@@ -96,10 +96,13 @@ def ols_simple_closed(
     partial-agg shuffle, no grouped collect).
 
     ``p_method``: "udf" (default) = vectorized pandas-UDF continued fraction,
-    O(1) in df — the unbounded-corpus path; "series" = the closed-form
-    integer-df expansion (functions/tdist.py), pure JVM expressions AND
-    oracle-checkable via the identically-structured DuckDB recursive CTE —
-    the declared differential query uses this.
+    O(1) in df; "betacf" = the same incomplete-beta continued fraction as
+    pure JVM expressions at a fixed iteration count — O(1) in df AND
+    oracle-checkable via the identically-structured DuckDB CTE
+    (functions/tdist.sql_t_pvalue_cf_ctes) — the declared differential query
+    uses this; "series" = the closed-form integer-df expansion (exact
+    elementary functions, but O(df) per row in both engines — kept for the
+    parity tests that pin betacf against it).
     """
     x, y = F.col(x_col), F.col(y_col)
     s = obs.groupBy(group_col).agg(
@@ -117,6 +120,8 @@ def ols_simple_closed(
     base = s.select(group_col, "n", r.alias("beta"), t.alias("t_stat"))
     if p_method == "series":
         out = with_two_sided_t_pvalue(base, "t_stat", F.col("n") - 2, "p_value")
+    elif p_method == "betacf":
+        out = with_two_sided_t_pvalue_cf(base, "t_stat", F.col("n") - 2, "p_value")
     else:
         out = base.withColumn(
             "p_value", _two_sided_p(F.col("t_stat"), F.col("n").cast("double") - 2)

@@ -21,8 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.tdist import sql_t_pvalue_ctes
-from ..functions.text import A3_TOKEN_PATTERN_SQL, tokenize_regex
+from ..functions.tdist import sql_t_pvalue_cf_ctes
+from ..functions.text import (
+    A3_TOKEN_PATTERN_SQL,
+    round_stable,
+    sql_round_stable,
+    tokenize_regex,
+)
 from ..operators.stats import ols_multi_closed, ols_simple_closed
 from ..sources.tables import load_table, spread
 from .registry import register
@@ -50,14 +55,38 @@ dense AS (
 """
 
 
-def word_observations(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+#: Deterministic "reviewText absent" mask for the zero-rows compat flag: the
+#: synthetic corpus has no missing text, so the compat query declares docs
+#: with doc_id % 17 == 3 to be field-less — the engine analog of the
+#: reference's JSON lines that KeyError on line["reviewText"].
+MISSING_MOD, MISSING_REM = 17, 3
+
+
+def word_observations(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, missing_text: str = "drop"
+) -> DataFrame:
     """Dense (word, doc) observation frame — the engine's version of
     a3_p1.py:40-66 (getFrequency + groupByKey), without the driver round-trip:
     the top-K word list stays a broadcast DataFrame, and zeros come from a
-    left join instead of per-record closure emission."""
+    left join instead of per-record closure emission.
+
+    ``missing_text`` (SURVEY.md §7.4 wart #4 / §1.3): "drop" (default)
+    excludes text-less docs from the observations — the fixed semantics.
+    "zero_rows" reproduces the reference's KeyError branch (a3_p1.py:61-64):
+    every doc whose text field is missing emits the observation
+    (x=0, y=0, ctrl=0) for EVERY top word — note y is zero too, not the
+    doc's actual outcome — and contributes nothing to the top-word counts
+    (getMap's own KeyError path, a3_p1.py:17-27)."""
     docs = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars", "lang")
     )
+    missing = None
+    if missing_text == "zero_rows":
+        is_missing = (F.col("doc_id") % MISSING_MOD) == MISSING_REM
+        missing = docs.filter(is_missing).select("doc_id")
+        docs = docs.filter(~is_missing)
+    elif missing_text != "drop":
+        raise ValueError(f"unknown missing_text mode: {missing_text!r}")
     # consumed by per-doc totals, the top-K list, AND per-(doc,word) counts:
     # persist so the regex tokenize runs once, in parallel
     words = persist_tracked(
@@ -73,7 +102,7 @@ def word_observations(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataF
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return (
+    dense = (
         docs.crossJoin(F.broadcast(top))
         .join(tot, "doc_id")
         .join(cnts, ["doc_id", "word"], "left")
@@ -85,14 +114,24 @@ def word_observations(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataF
             F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("ctrl"),
         )
     )
+    if missing is not None:
+        zeros = missing.crossJoin(F.broadcast(top)).select(
+            "doc_id",
+            "word",
+            F.lit(0.0).alias("x"),
+            F.lit(0.0).alias("y"),
+            F.lit(0.0).alias("ctrl"),
+        )
+        dense = dense.unionByName(zeros)
+    return dense
 
 
 @register(
     "ols_simple_words",
     oracle=(
         f"WITH {_SQL_DENSE} "
-        "SELECT word, n, round(r, 4) AS beta, "
-        "round(r * sqrt((n - 2) / (1 - r * r)), 4) AS t_stat FROM "
+        f"SELECT word, n, {sql_round_stable('r')} AS beta, "
+        f"{sql_round_stable('r * sqrt((n - 2) / (1 - r * r))')} AS t_stat FROM "
         "(SELECT word, COUNT(*) AS n, corr(x, y) AS r FROM dense GROUP BY word) "
         "WHERE r IS NOT NULL AND NOT isnan(r) AND abs(r) < 1"
     ),
@@ -107,7 +146,71 @@ def ols_simple_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = ols_simple_closed(obs, "word", "x", "y", bonferroni_k=TOP_K)
     return fit.filter(
         ~F.isnan("beta") & F.col("beta").isNotNull() & (F.abs(F.col("beta")) < 1)
-    ).select("word", "n", F.round("beta", 4).alias("beta"), F.round("t_stat", 4).alias("t_stat"))
+    ).select(
+        "word", "n",
+        round_stable("beta").alias("beta"),
+        round_stable("t_stat").alias("t_stat"),
+    )
+
+
+#: Oracle CTE for the zero-rows compat flag: the _SQL_DENSE pipeline with
+#: docs doc_id % 17 == 3 masked out of tokenization/top-words and re-added
+#: as all-zero observations for every top word (a3_p1.py:61-64).
+_SQL_DENSE_ZERO_ROWS = f"""
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         '{A3_TOKEN_PATTERN_SQL}', 1)) AS word FROM documents
+         WHERE doc_id % {MISSING_MOD} <> {MISSING_REM}),
+tot AS (SELECT doc_id, COUNT(*) AS total FROM toks GROUP BY doc_id),
+top AS (SELECT word FROM (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+        ORDER BY cnt DESC, word ASC LIMIT {TOP_K})),
+cnts AS (SELECT doc_id, word, COUNT(*) AS c FROM toks
+         JOIN top USING (word) GROUP BY doc_id, word),
+dense AS (
+  SELECT d.doc_id, t.word,
+         CAST(COALESCE(c.c, 0) AS DOUBLE) / tot.total AS x,
+         CAST(d.n_chars AS DOUBLE) AS y,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS ctrl
+  FROM documents d
+  CROSS JOIN top t
+  JOIN tot ON d.doc_id = tot.doc_id
+  LEFT JOIN cnts c ON c.doc_id = d.doc_id AND c.word = t.word
+  WHERE d.doc_id % {MISSING_MOD} <> {MISSING_REM}
+  UNION ALL
+  SELECT d.doc_id, t.word, 0.0 AS x, 0.0 AS y, 0.0 AS ctrl
+  FROM documents d CROSS JOIN top t
+  WHERE d.doc_id % {MISSING_MOD} = {MISSING_REM})
+"""
+
+
+@register(
+    "ols_simple_words_zero_rows",
+    oracle=(
+        f"WITH {_SQL_DENSE_ZERO_ROWS} "
+        f"SELECT word, n, {sql_round_stable('r')} AS beta, "
+        f"{sql_round_stable('r * sqrt((n - 2) / (1 - r * r))')} AS t_stat FROM "
+        "(SELECT word, COUNT(*) AS n, corr(x, y) AS r FROM dense GROUP BY word) "
+        "WHERE r IS NOT NULL AND NOT isnan(r) AND abs(r) < 1"
+    ),
+    doc="SURVEY.md §7.4 wart-#4 / §1.3 compatibility flag: ols_simple_words "
+    "with missing_text='zero_rows' — docs whose text field is 'absent' "
+    "(deterministic mask doc_id % 17 == 3; the synthetic corpus has no "
+    "truly-missing text) contribute an all-zero (x=0, y=0, ctrl=0) "
+    "observation for EVERY top word, reproducing the reference's KeyError "
+    "branch (a3_p1.py:61-64) where each such line drags every regression's "
+    "y toward zero. Same fit and output shape as ols_simple_words, so the "
+    "two queries' betas differ exactly by the wart.",
+    tags=("ols_simple", "compat", "relfreq"),
+)
+def ols_simple_words_zero_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = word_observations(spark, sf_dir, missing_text="zero_rows")
+    fit = ols_simple_closed(obs, "word", "x", "y", bonferroni_k=TOP_K)
+    return fit.filter(
+        ~F.isnan("beta") & F.col("beta").isNotNull() & (F.abs(F.col("beta")) < 1)
+    ).select(
+        "word", "n",
+        round_stable("beta").alias("beta"),
+        round_stable("t_stat").alias("t_stat"),
+    )
 
 
 @register(
@@ -120,8 +223,9 @@ def ols_simple_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ryx - ryc * rxc) / (1 - rxc * rxc) AS b1, "
         "(ryc - ryx * rxc) / (1 - rxc * rxc) AS b2, ryx, ryc FROM cors "
         "WHERE ryx IS NOT NULL AND NOT isnan(ryx) AND rxc IS NOT NULL AND abs(rxc) < 1) "
-        "SELECT word, n, round(b1, 4) AS beta, round(b2, 4) AS beta_ctrl, "
-        "round(b1 * sqrt((n - 3) / (1 - (b1 * ryx + b2 * ryc))), 4) AS t_stat "
+        f"SELECT word, n, {sql_round_stable('b1')} AS beta, "
+        f"{sql_round_stable('b2')} AS beta_ctrl, "
+        f"{sql_round_stable('b1 * sqrt((n - 3) / (1 - (b1 * ryx + b2 * ryc)))')} AS t_stat "
         "FROM betas WHERE (b1 * ryx + b2 * ryc) < 1"
     ),
     doc="Standardized 2-covariate OLS per word, controlling for lang='en' "
@@ -141,9 +245,9 @@ def ols_multi_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "word",
             "n",
-            F.round("beta", 4).alias("beta"),
-            F.round("beta_ctrl", 4).alias("beta_ctrl"),
-            F.round("t_stat", 4).alias("t_stat"),
+            round_stable("beta").alias("beta"),
+            round_stable("beta_ctrl").alias("beta_ctrl"),
+            round_stable("t_stat").alias("t_stat"),
         )
     )
 
@@ -174,24 +278,27 @@ _SQL_SIMPLE_FIT = (
     "ols_words_pvalues",
     oracle=(
         f"WITH RECURSIVE {_SQL_DENSE}, {_SQL_SIMPLE_FIT}, "
-        + sql_t_pvalue_ctes("fitf", "t_stat", "n - 2", "word")
-        + " SELECT word, n, round(r, 4) AS beta, round(t_stat, 4) AS t_stat, "
-        "round(p_value, 6) AS p_value, "
-        f"round(least(1.0, p_value * {TOP_K}), 6) AS p_bonf "
+        + sql_t_pvalue_cf_ctes("fitf", "t_stat", "n - 2", "word")
+        + f" SELECT word, n, {sql_round_stable('r')} AS beta, "
+        f"{sql_round_stable('t_stat')} AS t_stat, "
+        f"{sql_round_stable('p_value', 6)} AS p_value, "
+        f"{sql_round_stable(f'least(1.0, p_value * {TOP_K})', 6)} AS p_bonf "
         "FROM fitf_p "
-        "ORDER BY round(r, 4) DESC, word ASC LIMIT 20"
+        f"ORDER BY {sql_round_stable('r')} DESC, word ASC LIMIT 20"
     ),
     doc="Full reference output shape: β, two-sided p, Bonferroni-corrected p "
     "(×K, a3_p1.py:94-96) per word, top-20 by β with tiebreak — the engine "
-    "twin of a3_p1's pos_corr list. p-values via the closed-form integer-df "
-    "t expansion (functions/tdist.py): a pure-JVM sequential fold whose "
-    "DuckDB oracle runs the IDENTICAL recurrence in a recursive CTE — the "
-    "p column is hash-pinned, no Python anywhere in the plan.",
+    "twin of a3_p1's pos_corr list. p-values via the fixed-iteration "
+    "incomplete-beta continued fraction (functions/tdist.py betacf): a "
+    "pure-JVM sequential fold, O(1) in df, whose DuckDB oracle runs the "
+    "IDENTICAL recurrence in a bounded recursive CTE — the p column is "
+    "hash-pinned at every SF (the former series oracle was O(df) per row "
+    "and had to be excluded from the sf0.1 sweep), no Python in the plan.",
     tags=("ols_simple", "topk"),
 )
 def ols_words_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = word_observations(spark, sf_dir)
-    fit = ols_simple_closed(obs, "word", "x", "y", bonferroni_k=TOP_K, p_method="series")
+    fit = ols_simple_closed(obs, "word", "x", "y", bonferroni_k=TOP_K, p_method="betacf")
     return (
         fit.filter(
             ~F.isnan("beta") & F.col("beta").isNotNull() & (F.abs(F.col("beta")) < 1)
@@ -199,10 +306,10 @@ def ols_words_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "word",
             "n",
-            F.round("beta", 4).alias("beta"),
-            F.round("t_stat", 4).alias("t_stat"),
-            F.round("p_value", 6).alias("p_value"),
-            F.round("p_bonf", 6).alias("p_bonf"),
+            round_stable("beta").alias("beta"),
+            round_stable("t_stat").alias("t_stat"),
+            round_stable("p_value", 6).alias("p_value"),
+            round_stable("p_bonf", 6).alias("p_bonf"),
         )
         .orderBy(F.desc("beta"), F.asc("word"))
         .limit(20)
@@ -230,9 +337,10 @@ def _sql_wide_dsum(expr: str, scale: int = 4) -> str:
         f"{_sql_wide_dsum('l_extendedprice * l_extendedprice')} AS syy "
         "FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, n, "
-        "round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) "
-        "* (n * syy - sy * sy)), 4) AS corr "
-        "FROM s"
+        + sql_round_stable(
+            "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))"
+        )
+        + " AS corr FROM s"
     ),
     doc="Pearson correlation per group from EXACT decimal sufficient "
     "statistics (n, Σx, Σy, Σxy, Σx², Σy²) instead of the builtin corr(), "
@@ -259,7 +367,7 @@ def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        F.round(
-            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
+        round_stable(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("corr"),
     )
