@@ -10,7 +10,29 @@ broadcast vs sort-merge and handle skew. This is the canonical example of
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _sum_cells_checked(v: Column) -> Column:
+    """Exact decimal(18,4) sum of canonicalized COO cells with a LOUD
+    overflow guard.
+
+    Spark widens SUM(DECIMAL(18,4)) to (28,4); the downcast back to (18,4)
+    (required to keep the later product within precision 38 — see matmul_coo)
+    would silently return NULL past ~1e14 under non-ANSI semantics, while the
+    DuckDB oracle's cast RAISES. raise_error makes Spark equally loud, so a
+    scale-up that overflows fails the job instead of feeding NULL cells into
+    the product. decimal(18,4) tops out at 99999999999999.9999, so the
+    integer bound 1e14 is the exact representability test."""
+    s = F.sum(v.cast("decimal(18,4)"))
+    return F.when(F.abs(s) < F.lit(10**14), s.cast("decimal(18,4)")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("matmul_coo: summed cell magnitude overflows decimal(18,4): "),
+                s.cast("string"),
+            )
+        )
+    )
 
 
 def matmul_coo(cells: DataFrame, m_name: str = "M", n_name: str = "N") -> DataFrame:
@@ -37,13 +59,13 @@ def matmul_coo(cells: DataFrame, m_name: str = "M", n_name: str = "N") -> DataFr
     m = (
         cells.filter(F.col("name") == m_name)
         .groupBy("i", "j")
-        .agg(F.sum(F.col("v").cast("decimal(18,4)")).cast("decimal(18,4)").alias("mv"))
+        .agg(_sum_cells_checked(F.col("v")).alias("mv"))
         .select(F.col("i").alias("mi"), F.col("j").alias("mj"), "mv")
     )
     n = (
         cells.filter(F.col("name") == n_name)
         .groupBy("i", "j")
-        .agg(F.sum(F.col("v").cast("decimal(18,4)")).cast("decimal(18,4)").alias("nv"))
+        .agg(_sum_cells_checked(F.col("v")).alias("nv"))
         .select(F.col("i").alias("ni"), F.col("j").alias("nj"), "nv")
     )
     return (

@@ -32,10 +32,40 @@ SELECT user_id, item, rating FROM (
 WHERE rn = 1
 """
 
+#: SURVEY.md §7.4 wart #4 compatibility mode: the reference dedupes with
+#: ``reduceByKey(lambda a, b: b)`` (a3_p2.py:22) — "last seen" in file order,
+#: NOT the spec's "most recent". The engine's deterministic surrogate for
+#: arrival order is the fact table's stable row key (l_orderkey,
+#: l_linenumber): monotone in load order for an append-only fact, and —
+#: unlike RDD partition-arrival order — reproducible on any cluster layout.
+#: The synthetic testdata duplicates (l_orderkey, l_linenumber) (60k rows,
+#: 45.8k distinct at sf0.01), so the rating itself is the final tiebreaker:
+#: rows tying on all three carry the same output value, making the pick
+#: total where it matters.
+SQL_RATINGS_DEDUP_LAST_SEEN = f"""
+SELECT user_id, item, rating FROM (
+  SELECT o_custkey AS user_id, l_partkey AS item, {RATING_EXPR} AS rating,
+         row_number() OVER (PARTITION BY o_custkey, l_partkey
+                            ORDER BY l_orderkey DESC, l_linenumber DESC,
+                                     {RATING_EXPR} DESC) AS rn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+WHERE rn = 1
+"""
 
-def ratings_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most-recent rating per (user, item) — agg_last_per_key (a3_p2.py:18-22,
-    spec'd 'most recent' semantics per SURVEY.md §7.4 wart #4)."""
+
+def ratings_deduped(
+    spark: SparkSession, sf_dir: str, mode: str = "most_recent"
+) -> DataFrame:
+    """Rating dedupe per (user, item) — agg_last_per_key (a3_p2.py:18-22).
+
+    ``mode="most_recent"`` (default): max by timestamp, the spec'd semantics
+    (SURVEY.md §7.4 wart #4 'engine uses timestamp max_by').
+    ``mode="last_seen"``: the reference CODE's ``reduceByKey(lambda a,b: b)``
+    behavior behind the promised compatibility flag — last row in arrival
+    order, with (l_orderkey, l_linenumber) as the deterministic arrival-order
+    surrogate (see SQL_RATINGS_DEDUP_LAST_SEEN). The two modes genuinely
+    disagree wherever a later-keyed row has an earlier ship date.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     raw = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -46,11 +76,15 @@ def ratings_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    return last_per_key(
-        raw,
-        ["user_id", "item"],
-        [F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")],
-    ).select("user_id", "item", "rating")
+    if mode == "last_seen":
+        order = [F.desc("l_orderkey"), F.desc("l_linenumber"), F.desc("rating")]
+    elif mode == "most_recent":
+        order = [F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")]
+    else:
+        raise ValueError(f"unknown dedupe mode: {mode!r}")
+    return last_per_key(raw, ["user_id", "item"], order).select(
+        "user_id", "item", "rating"
+    )
 
 
 #: Scratch root for derived ingestion fixtures. Spark itself spills to the

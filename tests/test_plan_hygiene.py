@@ -40,6 +40,7 @@ BNLJ_OK = {
     "funnel_conversion",    # three stage-count scalars
     "kmeans_lloyd_step",    # K=8 centroid frame
     "ols_simple_words",     # dense docs x top-K word frame (broadcast-bounded)
+    "ols_simple_words_zero_rows",
     "ols_multi_words",
     "ols_words_pvalues",
     # documented brute-force baselines (blocked twins are the scale path):
@@ -50,6 +51,40 @@ BNLJ_OK = {
     # Q4's scalar floor date: a 1-row aggregate broadcast onto lineitem
     "tpch_q4_order_priority",
 }
+
+
+#: Round-4 changed/new/rotated queries (catalog.py tier 1): every one MUST
+#: register inside the driver's ~50-entry window or it gets no verdict on its
+#: current implementation this round.
+ROUND4_WINDOW_SET = {
+    # r1-verdict rotation (verdict item 1)
+    "ratings_last_per_key", "having_count_items", "semi_join_orders",
+    "anti_join_customers", "broadcast_join_revenue", "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders", "topk_orders_per_segment",
+    "asof_join_error_attribution", "salted_join_skewed", "wordcount_topk",
+    "wordcount_full", "wordcount_mem_fixture", "set_difference",
+    "mean_std_chars", "ann_cosine_topk", "dedup_embedding_cosine",
+    "ann_hyperplane_buckets", "embedding_label_stats",
+    # new round-4 queries (compat flags + stream≡batch verdict)
+    "ratings_last_seen_compat", "ols_simple_words_zero_rows",
+    "streaming_batch_equiv_hourly",
+    # changed round-4 queries (rounding migrations / oracle swap / guards)
+    "project_json_events", "ols_simple_words", "ols_multi_words",
+    "ols_words_pvalues", "corr_price_quantity", "dup_ngram_coverage",
+    "repetition_ratios", "dedup_jaccard_prefix", "corpus_mix_quota",
+    "cf_item_similarity", "cf_item_similarity_salted", "corpus_prep_pipeline",
+    "matmul_coo_fixture", "matmul_lineitem", "ann_cosine_topk_blocked",
+    "dedup_embedding_bucketed", "ann_multiprobe_topk",
+    "embedding_diversity_by_label",
+}
+
+
+def test_round4_window_positions():
+    """The driver checks roughly the first 50 registration positions; the
+    whole round-4 changed/rotated set must sit inside them."""
+    order = list(QUERIES)
+    late = {n for n in ROUND4_WINDOW_SET if order.index(n) >= 50}
+    assert not late, f"outside the 50-entry driver window: {sorted(late)}"
 
 
 def test_catalog_plan_hygiene(spark, sf_dir):
