@@ -27,10 +27,13 @@ green on its then-current code; round 4's window (verdict items 1-3) is:
   four queries land at positions 18-21 rather than 43-46 — same 46-entry
   set, confirmed by the position probe in tests/test_plan_hygiene.py.)
 
-  3. window spill (47-50): qaq — UNCHANGED since its round-3 green rows
+  3. round-4 NEW queries (46-49): tpchx (TPC-H Q6/Q14/Q19 shapes) +
+     fuzzydedupq (blocked-Levenshtein dedup) — exactly the four remaining
+     window slots, per the round-3 verdict's <= 15-additions budget rule;
+  4. window spill (50+): qaq — UNCHANGED since its round-3 green rows
      (the pmi/chi2 F.round migration is deliberately deferred to round 5 so
      tier 1 fits); re-verification of its head entries is harmless;
-  4. modules fully green in round 3 on current code, then the round-2 block.
+  5. modules fully green in round 3 on current code, then the round-2 block.
 
 STANDING RULE (round-3 verdict item 1): any round that touches session.py or
 sources/ must re-window every timestamp-consuming query.
@@ -55,6 +58,11 @@ from . import recommendq  # noqa: F401  (migrated sim rounds)
 from . import qualityq  # noqa: F401  (migrated corpus_prep avg_quality round)
 from . import linalgq  # noqa: F401  (matmul cell-sum overflow guard)
 from . import vectorq  # noqa: F401  (migrated cos/diversity rounds)
+
+# -- round-4 NEW queries: positions 46-49, the window slots left after tier 1
+# (TPC-H Q6/Q14/Q19 shapes + blocked-Levenshtein dedup) --
+from . import tpchx  # noqa: F401
+from . import fuzzydedupq  # noqa: F401
 
 # -- tier 2: window spill — unchanged since round-3 green; harmless re-checks --
 from . import qaq  # noqa: F401  (PMI, chi-square drift, PNG codec, session windows, range overlap)

@@ -76,6 +76,9 @@ ROUND4_WINDOW_SET = {
     "matmul_coo_fixture", "matmul_lineitem", "ann_cosine_topk_blocked",
     "dedup_embedding_bucketed", "ann_multiprobe_topk",
     "embedding_diversity_by_label",
+    # round-4 NEW queries (positions 46-49)
+    "tpch_q6_forecast_revenue", "tpch_q14_promo_revenue",
+    "tpch_q19_discounted_revenue", "dedup_edit_distance",
 }
 
 
