@@ -60,16 +60,38 @@ def minhash_signatures(
     the Part_2.pdf p4 formulation. ``row_fraction=(m, r)`` keeps only tokens
     with h(token) % r < m: the first-m-rows truncation of Part_2.pdf p7
     (keys whose tokens all fall outside the subset simply produce no rows —
-    the reference's ∞ signature)."""
-    t = tokens.select(key, token_col).distinct()
+    the reference's ∞ signature).
+
+    Shuffle shape (the sf1 scale rehearsal caught the naive version): MIN is
+    duplicate-insensitive, so no ``distinct()`` — a distinct exchange hashes
+    on (key, token), scattering every key across every partition, after
+    which the ×num_hashes seed explode's partial min-agg barely combines
+    (per-partition key cardinality saturates at all-keys: measured 38M
+    records / 700 MB shuffled for a 50k-doc corpus, growing ~quadratically
+    until saturation). Instead the ``num_hashes`` seeded mins are computed
+    as COLUMNS in one aggregate over the token stream, which is key-local
+    straight out of the tokenize/shingle explode — the map-side combine
+    collapses each partition to one row per key, and the only exchange is
+    |keys| wide rows. The (key, seed, mh) row contract is restored by a
+    post-agg explode of |keys| × num_hashes rows."""
+    t = tokens.select(key, token_col)
     if row_fraction is not None:
         m, r = row_fraction
         t = t.filter(_h64_seeded(F.col(token_col), F.lit("rowsel")) % r < m)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        t.select(key, token_col, seeds)
-        .groupBy(key, "seed")
-        .agg(F.min(_h64_seeded(F.col(token_col), F.col("seed"))).alias("mh"))
+    mins = t.groupBy(key).agg(
+        *[
+            F.min(_h64_seeded(F.col(token_col), F.lit(s))).alias(f"_mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), F.col(f"_mh{s}").alias("mh"))
+            for s in range(num_hashes)
+        ]
+    )
+    return mins.select(key, F.explode(rows).alias("_x")).select(
+        key, F.col("_x.seed").alias("seed"), F.col("_x.mh").alias("mh")
     )
 
 
@@ -157,9 +179,22 @@ def simhash_values(
     map-side like any other partial agg. The alternative (explode tokens x 60
     bit positions, aggregate (key, pos)) shuffles 60x the corpus token count
     for identical results; at 100 TB that is the whole job's cost. Powers of
-    two stay in integer arithmetic throughout (exact past double's 2^53)."""
-    t = tokens.select(key, token_col).distinct().withColumn(
-        "h", _h64_seeded(F.col(token_col), F.lit("sh"))
+    two stay in integer arithmetic throughout (exact past double's 2^53).
+
+    The internal distinct is KEY-LOCAL: ``repartition(key)`` first, so the
+    (key, token) dedup satisfies its clustering requirement from the key
+    partitioning and runs without its own exchange — and the 60-sum partial
+    agg then emits exactly one row per key. A plain ``.distinct()`` would
+    instead exchange on (key, token), scattering every key across every
+    partition, after which the partial agg's output saturates at
+    |keys| x |partitions| wide rows (the sf1 rehearsal's 60x shuffle
+    inflation). Pass the RAW token/shingle stream; pre-distincted input is
+    re-deduped harmlessly."""
+    t = (
+        tokens.select(key, token_col)
+        .repartition(F.col(key))
+        .dropDuplicates([key, token_col])
+        .withColumn("h", _h64_seeded(F.col(token_col), F.lit("sh")))
     )
     # integer div, not / : h spans 60 bits, past double's 2^53 exactness
     counts = t.groupBy(key).agg(
@@ -357,16 +392,29 @@ def connected_components_twophase(
 
 
 def ngram_shingles(
-    docs: DataFrame, n: int = 3, key: str = "doc_id", tokens_col: str = "toks"
+    docs: DataFrame,
+    n: int = 3,
+    key: str = "doc_id",
+    tokens_col: str = "toks",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per key from a token-*array* column.
+    """Word n-gram shingles per key from a token-*array* column, distinct by
+    default (set semantics for Jaccard/df counting).
 
     Shingling is a per-row array transform (slice + join over a generated
     index sequence) — zero shuffle, whole-stage codegen; the windowed
-    lead() formulation would shuffle the corpus by key for no reason."""
-    return docs.select(
+    lead() formulation would shuffle the corpus by key for no reason.
+
+    ``distinct=False`` skips the (key, shingle) distinct EXCHANGE and keeps
+    the stream key-local (each doc's shingles stay in its partition). Use it
+    for duplicate-insensitive consumers — minhash (MIN) and simhash (which
+    dedups key-locally itself) — where the distinct exchange would scatter
+    every key across every partition and ruin the downstream per-key partial
+    aggregation (measured 60x shuffle inflation at 50k docs)."""
+    sh = docs.select(
         key, F.explode(F.expr(ngram_expr(n, tokens_col))).alias("shingle")
-    ).distinct()
+    )
+    return sh.distinct() if distinct else sh
 
 
 def ngram_jaccard_pairs(

@@ -64,10 +64,18 @@ from . import vectorq  # noqa: F401  (migrated cos/diversity rounds)
 from . import tpchx  # noqa: F401
 from . import fuzzydedupq  # noqa: F401
 
-# -- tier 2: window spill — unchanged since round-3 green; harmless re-checks --
+# -- tier 2: window spill. similarityq FIRST (positions 50+): its minhash/
+# simhash PHYSICAL plans were rewritten this round (the sf1 rehearsal's
+# shuffle fix, BASELINE.md round-4 section) — values oracle-verified at
+# sf0.001/0.01/0.1 by the builder, but the driver window is full with the
+# verdict-item-1 rotation + the four new queries, so under the standing rule
+# the whole similarity family MUST head the ROUND-5 window for fresh driver
+# verdicts on the rewritten plans. Registering it at the window's edge gives
+# best-effort coverage if the driver checks past 50. qaq/samplingq follow,
+# unchanged since their round-3 green rows. --
+from . import similarityq  # noqa: F401  (CHANGED round 4: exchange-free minhash/simhash aggregation)
 from . import qaq  # noqa: F401  (PMI, chi-square drift, PNG codec, session windows, range overlap)
 from . import samplingq  # noqa: F401
-from . import similarityq  # noqa: F401
 from . import warehouseq  # noqa: F401
 from . import decisionq  # noqa: F401
 

@@ -68,14 +68,18 @@ def _ws_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_ws(docs).select("doc_id", "word")
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) word trigrams — the discriminative set representation
-    for the LSH/dedup queries (see _SQL_SH_SIGS note)."""
+    for the LSH/dedup queries (see _SQL_SH_SIGS note).
+
+    ``distinct=False`` hands duplicate-insensitive consumers (minhash,
+    simhash) the raw doc-local stream so no (doc, shingle) exchange precedes
+    their per-doc aggregation — see ngram_shingles' shuffle note."""
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
     )
-    return ngram_shingles(docs, n=3)
+    return ngram_shingles(docs, n=3, distinct=distinct)
 
 
 @register(
@@ -150,7 +154,9 @@ bands AS (SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
 )
 def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
-        _shingles(spark, sf_dir), token_col="shingle", num_hashes=NUM_HASHES
+        _shingles(spark, sf_dir, distinct=False),
+        token_col="shingle",
+        num_hashes=NUM_HASHES,
     )
     return lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND))
 
@@ -174,7 +180,9 @@ scored AS (SELECT ka, kb,
 def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _SQL_SCORED: (ka, kb, est) near-dup pairs."""
     sigs = persist_tracked(minhash_signatures(
-        _shingles(spark, sf_dir), token_col="shingle", num_hashes=NUM_HASHES
+        _shingles(spark, sf_dir, distinct=False),
+        token_col="shingle",
+        num_hashes=NUM_HASHES,
     ))
     cand = lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND))
     sa = sigs.select(F.col("doc_id").alias("ka"), "seed", F.col("mh").alias("mha"))
@@ -313,7 +321,9 @@ cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sim = simhash_values(_shingles(spark, sf_dir), spark, token_col="shingle")
+    sim = simhash_values(
+        _shingles(spark, sf_dir, distinct=False), spark, token_col="shingle"
+    )
     return simhash_near_pairs(sim, max_hamming=8)
 
 
