@@ -112,3 +112,39 @@ def test_catalog_plan_hygiene(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not problems, "\n".join(problems)
+
+
+def test_minhash_simhash_no_scatter_exchange(spark, sf_dir):
+    """The sf1 scale rehearsal's shuffle fix, pinned as a plan shape: the
+    signature/fingerprint aggregations must not exchange on (doc, shingle) —
+    that partitioning scatters every doc across every partition and defeats
+    the per-doc partial aggregation (measured 60x shuffle inflation at 50k
+    docs). Allowed exchanges: spread()'s round-robin of the compact doc rows
+    plus ONE hash exchange on doc_id alone."""
+    import re
+
+    from big_data_analytics_mini_projects_spark.operators.similarity import (
+        minhash_signatures,
+        simhash_values,
+    )
+    from big_data_analytics_mini_projects_spark.plans.similarityq import (
+        NUM_HASHES,
+        _shingles,
+    )
+
+    for build in (
+        lambda: minhash_signatures(
+            _shingles(spark, sf_dir, distinct=False),
+            token_col="shingle",
+            num_hashes=NUM_HASHES,
+        ),
+        lambda: simhash_values(
+            _shingles(spark, sf_dir, distinct=False), spark, token_col="shingle"
+        ),
+    ):
+        plan = build()._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        exchanges = re.findall(r"Exchange [^\n]*", plan)
+        assert len(exchanges) == 2, exchanges
+        hash_exch = [e for e in exchanges if "hashpartitioning" in e]
+        assert len(hash_exch) == 1, exchanges
+        assert "shingle" not in hash_exch[0], hash_exch
