@@ -23,14 +23,18 @@ BPE_PATTERN = r"([a-z]+|[0-9]+|[^a-z0-9\s])"
 def char_trigrams(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(key, tg) — one row per character trigram of the lowercased text.
 
-    The lowered text is bound once per row via the transform(array(x), t ->
-    ...)[0] let-binding idiom; inlining `lower(text)` into the per-index
-    lambda would re-lower the whole string for every trigram position —
-    O(len²) character work per document (the doc_fingerprints lesson)."""
+    The lowered text is split to a char ARRAY once per row via the
+    transform(array(x), cs -> ...)[0] let-binding idiom, and trigram i is
+    concat of three O(1) array subscripts. Two earlier formulations were
+    per-doc-quadratic and are deliberately avoided: inlining `lower(text)`
+    into the per-index lambda re-lowers the whole string per position (the
+    doc_fingerprints lesson), and `substring(t, i, 3)` on a bound string is
+    still an O(i) UTF8 char scan per call — measured 2.5x slower end-to-end
+    at 50k docs (sf1 rehearsal), worse with longer documents."""
     expr = (
-        f"transform(array(lower({text_col})), t -> "
-        "CASE WHEN length(t) >= 3 THEN "
-        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
+        f"transform(array(split(lower({text_col}), '')), cs -> "
+        "CASE WHEN size(cs) >= 3 THEN "
+        "transform(sequence(0, size(cs) - 3), i -> concat(cs[i], cs[i+1], cs[i+2])) "
         "ELSE cast(array() as array<string>) END)[0]"
     )
     return docs.select(key, F.explode(F.expr(expr)).alias("tg"))
@@ -148,20 +152,23 @@ def doc_fingerprints(
     window min — shuffles one row per character of the corpus, which at
     100 TB is a corpus-sized exchange for no semantic gain.
 
-    Expression-engineering note: the lowered text and the hash array are each
-    bound ONCE per row via the `transform(array(x), v -> body)[0]` let-binding
-    idiom. Without it, CollapseProject inlines the hash-array expression into
-    the winnowing transform's lambda body, re-evaluating the md5-of-every-gram
-    array for EVERY window index — O(n²) hashing per document (measured 50×
-    slower). slice() clamps at the tail, matching a CURRENT ROW .. N FOLLOWING
-    frame."""
-    grams_t = (
-        f"CASE WHEN length(t) >= {k} THEN "
-        f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k})) "
+    Expression-engineering note: the lowered CHAR ARRAY and the hash array
+    are each bound ONCE per row via the `transform(array(x), v -> body)[0]`
+    let-binding idiom. Without it, CollapseProject inlines the hash-array
+    expression into the winnowing transform's lambda body, re-evaluating the
+    md5-of-every-gram array for EVERY window index — O(n²) hashing per
+    document (measured 50× slower). Grams are concat of k O(1) array
+    subscripts, not `substring(t, i, k)` — the latter is an O(i) UTF8 char
+    scan per position, per-doc-quadratic (the char_trigrams lesson). slice()
+    clamps at the tail, matching a CURRENT ROW .. N FOLLOWING frame."""
+    cat_k = " , ".join(f"cs[i+{j}]" for j in range(k))
+    grams_cs = (
+        f"CASE WHEN size(cs) >= {k} THEN "
+        f"transform(sequence(0, size(cs) - {k}), i -> concat({cat_k})) "
         f"ELSE cast(array() as array<string>) END"
     )
-    hs_t = (
-        f"transform({grams_t}, g -> "
+    hs_cs = (
+        f"transform({grams_cs}, g -> "
         "cast(conv(substring(md5(concat('fp:', g)), 1, 15), 16, 10) as bigint))"
     )
     winnow_hs = (
@@ -170,7 +177,7 @@ def doc_fingerprints(
         f"i -> array_min(slice(hs, i, {window})))) END"
     )
     fp_expr = (
-        f"transform(array(lower({text_col})), t -> "
-        f"transform(array({hs_t}), hs -> {winnow_hs})[0])[0]"
+        f"transform(array(split(lower({text_col}), '')), cs -> "
+        f"transform(array({hs_cs}), hs -> {winnow_hs})[0])[0]"
     )
     return docs.select(key, F.explode(F.expr(fp_expr)).alias("fp"))
