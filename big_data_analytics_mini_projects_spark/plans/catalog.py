@@ -71,8 +71,10 @@ from . import fuzzydedupq  # noqa: F401
 # verdict-item-1 rotation + the four new queries, so under the standing rule
 # the whole similarity family MUST head the ROUND-5 window for fresh driver
 # verdicts on the rewritten plans. Registering it at the window's edge gives
-# best-effort coverage if the driver checks past 50. qaq/samplingq follow,
-# unchanged since their round-3 green rows. --
+# best-effort coverage if the driver checks past 50. The same round-5
+# obligation covers textanalysisq (lang_id_ngram / doc_fingerprints k-gram
+# construction rewritten O(len^2)->O(len), values oracle-verified at three
+# SFs). qaq/samplingq follow, unchanged since their round-3 green rows. --
 from . import similarityq  # noqa: F401  (CHANGED round 4: exchange-free minhash/simhash aggregation)
 from . import qaq  # noqa: F401  (PMI, chi-square drift, PNG codec, session windows, range overlap)
 from . import samplingq  # noqa: F401
