@@ -196,6 +196,18 @@ def bucketed_near_pairs(
     ~0.99 at cos 0.99, ~0.98 at 0.95, falling to ~0.46 at 0.35, so the
     geometry targets true near-duplicates; widen n_bands (more tables) for
     recall at looser thresholds.
+
+    TUNING RULE (measured, BASELINE.md round-4 rehearsal): ``band_bits``
+    must scale as ~log2(n / target_occupancy). A band has only
+    2^band_bits buckets, so at FIXED width the per-bucket occupancy grows
+    linearly with the corpus and the verify stage quadratically — 4-bit
+    bands took 6.5 s at 2k vectors but 409 s at 20k (86x shuffle on 10x
+    data), while 8 bits restored it to 10.8 s. Wider bands also raise the
+    join-key cardinality (n_bands * 2^band_bits distinct shuffle keys):
+    at 4 bits only 64 keys exist, so two reducers received all pairs.
+    Add ~3.3 bits per 10x corpus growth; recall at high similarity barely
+    moves (0.991 at cos 0.99 for 8x4) — re-derive from the capture formula
+    when retuning, and raise n_bands if loose-threshold recall matters.
     """
     exprs = banded_bucket_exprs(n_bands, band_bits)
     bb = F.array(

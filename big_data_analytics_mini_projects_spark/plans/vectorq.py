@@ -117,7 +117,11 @@ def _sql_banded() -> str:
     "term. Capture probability 1-(1-p^4)^4, p = 1-acos(cos)/pi: ~0.99 at "
     "cos 0.99, ~0.46 at the declared 0.35 floor (this synthetic corpus has "
     "no true near-dups; recall vs the all-pairs truth is pinned in "
-    "tests/test_similarity.py).",
+    "tests/test_similarity.py). The 4-bit band width is sized for the "
+    "driver's 2k-vector table; band_bits must grow ~log2(n) with the "
+    "corpus (+3.3 bits per 10x) or per-bucket occupancy turns the verify "
+    "quadratic — the tuning rule, with sf1 measurements, is on "
+    "operators/vector.bucketed_near_pairs.",
     tags=("dedup", "ann", "lsh_band"),
 )
 def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,6 +68,41 @@ def main() -> None:
         """
     )
 
+    # embeddings x10: replica r rotates each vector's components by r
+    # positions — an orthogonal transform, so every within-replica pairwise
+    # cosine (and every norm) is exactly preserved: each replica carries
+    # sf0.1's similarity structure, replicas are mutually ~random. That is a
+    # constant-near-dup-rate 10x vector corpus, the analogue of the
+    # token-suffix trick for documents.
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + r.rep * 10000000 AS vec_id,
+                 CASE WHEN r.rep = 0 THEN e.embedding
+                      ELSE list_concat(e.embedding[r.rep + 1:],
+                                       e.embedding[1:r.rep])
+                 END AS embedding,
+                 e.label
+          FROM read_parquet('{SRC}/embeddings.parquet') e CROSS JOIN r
+          ORDER BY vec_id
+        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    # events x10: replica r offsets user_id/event_id, keeps ts/type/value —
+    # 10x users with identical per-user event streams (per-user session and
+    # window shapes constant, total volume 10x).
+    con.execute(
+        f"""
+        COPY (
+          SELECT ev.event_id + r.rep * 100000000 AS event_id, ev.ts,
+                 ev.user_id + r.rep * 10000000 AS user_id,
+                 ev.event_type, ev.value, ev.props
+          FROM read_parquet('{SRC}/events.parquet') ev CROSS JOIN r
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+
     for t in (
         "region",
         "nation",
@@ -75,8 +110,6 @@ def main() -> None:
         "supplier",
         "part",
         "orders",
-        "events",
-        "embeddings",
     ):
         dst = f"{DST}/{t}.parquet"
         if not os.path.exists(dst):
