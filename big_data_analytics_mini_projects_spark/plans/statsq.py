@@ -123,7 +123,12 @@ def word_observations(
             F.lit(0.0).alias("ctrl"),
         )
         dense = dense.unionByName(zeros)
-    return dense
+    # The whole OLS family (simple / multi / pvalues / zero_rows compat)
+    # aggregates this same dense frame; persisting it lets the CacheManager
+    # structurally match the rebuild in each family member, so the top-K
+    # sort + counts join + densify run once per catalog pass instead of
+    # once per query. K*|docs| rows — small next to the corpus.
+    return persist_tracked(dense)
 
 
 @register(
