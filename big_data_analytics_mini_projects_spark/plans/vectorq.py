@@ -17,7 +17,7 @@ from ..operators.vector import (
     prepare_vectors,
 )
 from ..functions.text import round_stable, sql_round_stable
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 TOPK_QUERIES = 5     # vec_id < 5 are the query vectors
@@ -34,7 +34,12 @@ _SQL_COS = (
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return prepare_vectors(load_table(spark, sf_dir, "embeddings"))
+    # spread(): the embeddings table is one local parquet split, and every
+    # consumer immediately runs per-row array folds (norms, 16 hyperplane
+    # dot products) — single-threaded without a rebalance (measured 2 x
+    # ~4 s one-task stages in dedup_embedding_bucketed at sf0.1). Filters
+    # (e.g. vec_id < 5 query subsets) still push through the repartition.
+    return prepare_vectors(spread(load_table(spark, sf_dir, "embeddings")))
 
 
 @register(
