@@ -81,9 +81,11 @@ jac AS (SELECT new_doc, corpus_doc, n_common,
     tags=("dedup", "ngram", "pipeline"),
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+        )
     )
     sh = persist_tracked(ngram_shingles(docs, n=3))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

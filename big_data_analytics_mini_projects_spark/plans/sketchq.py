@@ -19,7 +19,7 @@ from ..operators.sketches import (
     hll_distinct,
     sql_hll_distinct,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 HLL_P = 9  # 512 registers
@@ -72,7 +72,7 @@ def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "topk", "agg_count_by_key"),
 )
 def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = tokenize_ws(docs).select("word")
     sketch = cm_sketch_counts(toks, "word", depth=CM_DEPTH, width=CM_WIDTH)
     true_top = (

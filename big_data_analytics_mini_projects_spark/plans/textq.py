@@ -21,7 +21,7 @@ from ..functions.text import (
 from ..operators.aggregates import count_by_key, mean_std_chars
 from ..operators.relational import join_anti, topk
 from ..sources.readers import scan_mem
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 #: The MR simulator's demo corpus (MRSystemSimulator2020.py:310-316) — used as
@@ -59,7 +59,7 @@ def _corpus_values_sql(rows) -> str:
     tags=("tokenize_regex", "agg_count_by_key", "topk"),
 )
 def wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = tokenize_regex(docs.select("doc_id", "text"))
     counts = count_by_key(words, ["word"])
     return topk(counts, [F.desc("cnt"), F.asc("word")], 20)
@@ -76,7 +76,7 @@ def wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tokenize_ws", "agg_count_by_key"),
 )
 def wordcount_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return count_by_key(tokenize_ws(docs.select("doc_id", "text")), ["word"])
 
 
@@ -109,7 +109,7 @@ def wordcount_mem_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join_anti", "agg_distinct"),
 )
 def set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = tokenize_ws(docs.select("doc_id", "lang", "text"))
     r = words.filter(F.col("lang") == "en").select("word").distinct()
     s = words.filter(F.col("lang") == "de").select("word").distinct()
