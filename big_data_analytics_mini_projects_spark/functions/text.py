@@ -87,10 +87,12 @@ def bool01(col: Column | str) -> Column:
     return c.cast("double")
 
 
-def round4(col: Column | str) -> Column:
-    """Final-stat rounding used throughout the reference (MRSystemSimulator2020.py:245)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c, 4)
+#: The reference's final-stat rounding (``round(x, 4)``,
+#: MRSystemSimulator2020.py:245) is realized everywhere by
+#: :func:`round_stable` below — F.round is banned from declared query
+#: output paths because it rounds the SHORTEST DECIMAL REPR of the double
+#: while DuckDB rounds the binary value (divergent at .xxxx5 boundaries;
+#: see BASELINE.md round-3/4 precision notes).
 
 
 def ngram_expr(n: int, tokens_col: str = "toks") -> str:

@@ -80,6 +80,6 @@ def welford_stats(df: DataFrame, value_col: str, round_to: int = 4) -> DataFrame
     """
     return df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(value_col), round_to).alias("mean"),
-        F.round(F.stddev_pop(value_col), round_to).alias("std"),
+        round_stable(F.avg(value_col), round_to).alias("mean"),
+        round_stable(F.stddev_pop(value_col), round_to).alias("std"),
     )

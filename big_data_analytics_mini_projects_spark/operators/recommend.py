@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.text import round_stable
+
 
 def cf_filter_ratings(
     ratings: DataFrame, min_users_per_item: int = 25, min_items_per_user: int = 5
@@ -188,7 +190,7 @@ def cf_predict(
         )
     if quantize is not None:
         scale = 10 ** quantize
-        w = F.round(F.col("sim") * scale, 0).cast("long")
+        w = round_stable(F.col("sim") * scale, 0).cast("long")
     else:
         w = F.col("sim")
     sw = sims.select(
@@ -217,7 +219,7 @@ def cf_predict(
         # within 1 ulp of a .00005 boundary, observed at sf0.01 with k=50).
         pred_w = F.expr("(num * 20000 + den) div (den * 2)").cast("double") / 10000.0
     else:
-        pred_w = F.round(F.col("num").cast("double") / F.col("den"), 4)
+        pred_w = round_stable(F.col("num").cast("double") / F.col("den"))
     pred = F.coalesce(F.col("actual").cast("double"), pred_w)
     return (
         ov.join(actual, ["target", "user_id"], "left")

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.text import round_stable
+
 #: Trailing-zero cap = usable hash bits above the bucket index (60-bit hash).
 RHO_CAP = 50
 
@@ -92,7 +94,7 @@ def hll_distinct(
     zeros = F.lit(m) - F.col("n_buckets")
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
-    return per_group.select(*g, F.round(est, 2).alias("n_est"))
+    return per_group.select(*g, round_stable(est, 2).alias("n_est"))
 
 
 def sql_hll_distinct(
@@ -119,9 +121,9 @@ ested AS (SELECT {gsel}
   CAST({hll_alpha(m) * m * m * float(1 << RHO_CAP)!r} AS DOUBLE)
     / CAST(s_obs + ({m} - n_buckets) * {1 << RHO_CAP} AS DOUBLE) AS raw,
   {m} - n_buckets AS zeros FROM agged)
-SELECT {gsel}round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+SELECT {gsel}floor((CASE WHEN raw <= {2.5 * m} AND zeros > 0
         THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / zeros)
-        ELSE raw END, 2) AS n_est
+        ELSE raw END) * 100 + 0.5) / 100 AS n_est
 FROM ested
 """
 
@@ -266,5 +268,5 @@ def histogram_quantiles(
         "p",
         F.col("s.bin").alias("bin"),
         F.col("s.n_le").alias("n_le"),
-        F.round(F.lit(lo) + (F.col("s.bin") + 1) * F.lit(width), 4).alias("est"),
+        round_stable(F.lit(lo) + (F.col("s.bin") + 1) * F.lit(width)).alias("est"),
     )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import h64, h64_sql
 from ..sources.tables import load_table, spread
+from ..functions.text import round_stable, sql_round_stable
 from .registry import register
 
 BIGRAM_TOP_HEADS = 20
@@ -56,7 +57,9 @@ Q_LEVELS = 255  # int8 code book: 0..255
         "(PARTITION BY bi.w1 ORDER BY bi.cnt DESC, bi.w2) AS rn "
         "FROM bi JOIN keep USING (w1)) "
         "SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, "
-        "CAST(total AS BIGINT) AS total, round(cnt / total, 4) AS p "
+        "CAST(total AS BIGINT) AS total, "
+        + sql_round_stable("cnt / total")
+        + " AS p "
         f"FROM ranked WHERE rn <= {BIGRAM_TOP_SUCC}"
     ),
     doc="Bigram language-model table: adjacent-token pairs generated as a "
@@ -96,7 +99,7 @@ def bigram_lm_successors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             F.col("cnt").cast("long").alias("cnt"),
             F.col("total").cast("long").alias("total"),
-            F.round(F.col("cnt") / F.col("total"), 4).alias("p"),
+            round_stable(F.col("cnt") / F.col("total")).alias("p"),
         )
     )
 
@@ -194,13 +197,14 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM embeddings CROSS JOIN range({EMB_DIM}) AS t(i)), "
         "ds AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM el GROUP BY dim), "
         "q AS (SELECT el.vec_id, el.label, el.val, ds.mn, ds.mx, "
-        f"round((el.val - ds.mn) / (ds.mx - ds.mn) * {Q_LEVELS}) AS code "
+        f"floor((el.val - ds.mn) / (ds.mx - ds.mn) * {Q_LEVELS} + 0.5) AS code "
         "FROM el JOIN ds USING (dim)), "
         "err AS (SELECT vec_id, label, "
         f"SUM(pow(val - (mn + code / {Q_LEVELS} * (mx - mn)), 2)) / {EMB_DIM} "
         "AS mse FROM q GROUP BY vec_id, label) "
         "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
-        "round(AVG(mse) * 1e6, 4) AS mean_mse_ppm FROM err GROUP BY label"
+        + sql_round_stable("AVG(mse) * 1e6")
+        + " AS mean_mse_ppm FROM err GROUP BY label"
     ),
     doc="Scalar int8 quantization of the embedding table (the memory-"
     "bandwidth lever every 100 TB ANN index pulls): per-dimension min/max "
@@ -218,7 +222,9 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = el.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
     q = el.join(F.broadcast(ds), "dim").withColumn(
         "code",
-        F.round((F.col("val") - F.col("mn")) / (F.col("mx") - F.col("mn")) * Q_LEVELS),
+        round_stable(
+            (F.col("val") - F.col("mn")) / (F.col("mx") - F.col("mn")) * Q_LEVELS, 0
+        ),
     )
     deq = F.col("mn") + F.col("code") / Q_LEVELS * (F.col("mx") - F.col("mn"))
     err = q.groupBy("vec_id", "label").agg(
@@ -226,7 +232,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return err.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.round(F.avg("mse") * 1e6, 4).alias("mean_mse_ppm"),
+        round_stable(F.avg("mse") * 1e6).alias("mean_mse_ppm"),
     )
 
 
@@ -332,8 +338,10 @@ def bloom_filter_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(el.val - st.s / st.n) / sqrt(st.s2 / st.n - pow(st.s / st.n, 2)) "
         "AS z FROM el JOIN st USING (label, dim)) "
         "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vals, "
-        "round(AVG(abs(z)), 4) AS mean_abs_z, "
-        "round(MAX(abs(z)), 4) AS max_abs_z FROM z GROUP BY label"
+        + sql_round_stable("AVG(abs(z))")
+        + " AS mean_abs_z, "
+        + sql_round_stable("MAX(abs(z))")
+        + " AS max_abs_z FROM z GROUP BY label"
     ),
     doc="Per-label, per-dimension z-score normalization of the embedding "
     "table (the feature-standardization pass before contrastive/classifier "
@@ -361,8 +369,8 @@ def embedding_zscore_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return z.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_vals"),
-        F.round(F.avg(F.abs("z")), 4).alias("mean_abs_z"),
-        F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+        round_stable(F.avg(F.abs("z"))).alias("mean_abs_z"),
+        round_stable(F.max(F.abs("z"))).alias("max_abs_z"),
     )
 
 
@@ -373,8 +381,10 @@ def embedding_zscore_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM events GROUP BY event_type, user_id) "
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, "
         "CAST(SUM(c) AS BIGINT) AS n_rows, CAST(MAX(c) AS BIGINT) AS max_cnt, "
-        "round(MAX(c) / SUM(c), 4) AS max_share, "
-        "round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy "
+        + sql_round_stable("MAX(c) / SUM(c)")
+        + " AS max_share, "
+        + sql_round_stable("ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)")
+        + " AS entropy "
         "FROM c GROUP BY event_type"
     ),
     doc="Key-skew profiler — the diagnostic a 100 TB job runs BEFORE picking "
@@ -392,8 +402,8 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("c").cast("long").alias("n_rows"),
         F.max("c").cast("long").alias("max_cnt"),
-        F.round(F.max("c") / F.sum("c"), 4).alias("max_share"),
-        F.round(
-            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+        round_stable(F.max("c") / F.sum("c")).alias("max_share"),
+        round_stable(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
         ).alias("entropy"),
     )

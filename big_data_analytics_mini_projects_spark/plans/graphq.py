@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import load_table
+from ..functions.text import round_stable, sql_round_stable
 from .registry import register
 from ..caching import persist_tracked
 
@@ -53,7 +54,7 @@ def _pagerank_oracle(iters: int = N_PR_ITERS) -> str:
         for t in range(1, iters + 1)
     )
     tail = (
-        f" SELECT node, round(r * (SELECT n FROM nn), 4) AS rank_rel "
+        f" SELECT node, " + sql_round_stable("r * (SELECT n FROM nn)") + " AS rank_rel "
         f"FROM r{iters}"
     )
     return head + steps + tail
@@ -112,4 +113,4 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(0.15 / n) + F.lit(DAMPING) * F.col("s")).alias("r"),
             )
         )
-    return ranks.select("node", F.round(F.col("r") * n, 4).alias("rank_rel"))
+    return ranks.select("node", round_stable(F.col("r") * n).alias("rank_rel"))

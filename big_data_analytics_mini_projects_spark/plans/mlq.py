@@ -23,6 +23,8 @@ connected-components convergence check (operators/similarity.py:212).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -78,9 +80,9 @@ _SQL_WIDE = "CAST(SUM(CAST({expr} AS DECIMAL(38,4))) AS DOUBLE)"
         "FROM lineitem GROUP BY l_returnflag) "
         # closed-form optimum the GD must converge to: beta* = r, intercept* = 0
         "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
-        "round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) "
-        "* (n * syy - sy * sy)), 4) AS beta_std, "
-        "round(0.0, 4) AS intercept_std FROM s"
+        "floor((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) "
+        "* (n * syy - sy * sy)) * 10000 + 0.5) / 10000 AS beta_std, "
+        "0.0 AS intercept_std FROM s"
     ),
     doc="Momentum gradient descent (gamma=0.9, Part_2.pdf p2) fitting a "
     "standardized simple linear regression of l_extendedprice on l_quantity "
@@ -113,7 +115,17 @@ def momentum_gd_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, a = momentum_gd_standardized(
             float(s["n"]), s["sx"], s["sy"], s["sxy"], s["sxx"], s["syy"]
         )
-        rows.append((s["l_returnflag"], s["n"], round(b, 4), round(a, 4)))
+        # stable half-up on the binary double (matches the oracle's floor
+        # formula); Python's round() is half-EVEN and would diverge at
+        # exact .xxxx5 binaries
+        rows.append(
+            (
+                s["l_returnflag"],
+                s["n"],
+                math.floor(b * 10000 + 0.5) / 10000,
+                math.floor(a * 10000 + 0.5) / 10000,
+            )
+        )
     schema = StructType(
         [
             StructField("l_returnflag", StringType()),

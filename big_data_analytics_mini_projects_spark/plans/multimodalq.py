@@ -25,6 +25,7 @@ from ..streaming.stream_stats import (
     stream_global_stats,
     stream_hourly_counts,
 )
+from ..functions.text import sql_round_stable
 from .registry import register
 
 
@@ -112,11 +113,14 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_welford_stats",
     oracle=(
         "SELECT COUNT(*) AS n, "
-        "round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS mean, "
-        "round(sqrt(CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) "
-        "- (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) "
-        "* (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))), 4) AS std "
-        "FROM events"
+        + sql_round_stable("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)")
+        + " AS mean, "
+        + sql_round_stable(
+            "sqrt(CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) "
+            "- (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) "
+            "* (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)))"
+        )
+        + " AS std FROM events"
     ),
     doc="Structured Streaming global (n, mean, σ_pop): a real streaming job "
     "(availableNow -> memory sink) whose single state row is the Welford "

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.relational import join_auto
 from ..operators.similarity import ngram_shingles
 from ..operators.vector import _dot, prepare_vectors
-from ..functions.text import sql_tokens_ws, tokenize_ws
+from ..functions.text import round_stable, sql_round_stable, sql_tokens_ws, tokenize_ws
 from ..sources.tables import load_table, spread
 from .registry import register
 from ..caching import persist_tracked
@@ -68,7 +68,8 @@ jac AS (SELECT new_doc, corpus_doc, n_common,
     oracle=(
         f"WITH {_SQL_SHARD_SHINGLES} "
         "SELECT new_doc, corpus_doc AS best_match, n_common, "
-        "round(j, 4) AS jaccard FROM ("
+        + sql_round_stable("j")
+        + " AS jaccard FROM ("
         "SELECT *, row_number() OVER (PARTITION BY new_doc "
         "ORDER BY j DESC, corpus_doc ASC) AS rn FROM jac "
         f"WHERE j >= {INC_MIN_JACCARD}) WHERE rn = 1"
@@ -127,7 +128,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_doc",
             F.col("corpus_doc").alias("best_match"),
             "n_common",
-            F.round("j", 4).alias("jaccard"),
+            round_stable("j").alias("jaccard"),
         )
     )
 
@@ -149,7 +150,8 @@ assign AS (SELECT vec_id, cid, d2 FROM (
     oracle=(
         f"WITH {_SQL_KM} "
         "SELECT cid AS cluster, COUNT(*) AS n_assigned, "
-        "round(CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE), 4) AS inertia "
+        + sql_round_stable("CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE)")
+        + " AS inertia "
         "FROM assign GROUP BY cid"
     ),
     doc="One Lloyd iteration of k-means over the embedding column: assign "
@@ -180,8 +182,8 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
-            F.round(
-                F.sum(F.col("d2").cast("decimal(38,6)")).cast("double"), 4
+            round_stable(
+                F.sum(F.col("d2").cast("decimal(38,6)")).cast("double")
             ).alias("inertia"),
         )
     )
@@ -252,7 +254,9 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"* (tf * ({BM25_K1} + 1.0)) / (tf + {BM25_K1} * (1.0 - {BM25_B} "
         f"+ {BM25_B} * dl / avgdl)) AS score "
         "FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (word) CROSS JOIN stats) "
-        "SELECT doc_id, word, tf, dfreq, round(score, 4) AS bm25 "
+        "SELECT doc_id, word, tf, dfreq, "
+        + sql_round_stable("score")
+        + " AS bm25 "
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id "
         f"ORDER BY score DESC, word) AS rn FROM s) WHERE rn <= {BM25_TOPK}"
     ),
@@ -297,5 +301,5 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= BM25_TOPK)
-        .select("doc_id", "word", "tf", "dfreq", F.round("score", 4).alias("bm25"))
+        .select("doc_id", "word", "tf", "dfreq", round_stable("score").alias("bm25"))
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.text import round_stable, sql_round_stable
 from ..operators.multimodal import decode_png_stats, synth_png_payloads
 from ..sources.tables import load_table, spread
 from ..streaming.stream_stats import events_stream, run_available_now
@@ -38,7 +39,9 @@ PMI_TOPK = 30
         "ln(bi.c12 * (SELECT n FROM n) / (u1.c * u2.c)) AS pmi "
         "FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w "
         f"WHERE bi.c12 >= {PMI_MIN_PAIR}) "
-        "SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, round(pmi, 4) AS pmi "
+        "SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, "
+        + sql_round_stable("pmi")
+        + " AS pmi "
         "FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn "
         f"FROM scored) WHERE rn <= {PMI_TOPK}"
     ),
@@ -85,7 +88,7 @@ def pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOPK)
         .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
-                F.round("pmi", 4).alias("pmi"))
+                round_stable("pmi").alias("pmi"))
     )
 
 
@@ -106,7 +109,8 @@ def pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS n_a, "
         "CAST(SUM(CASE WHEN shard = 'shard_b' THEN c ELSE 0 END) AS BIGINT) "
         "AS n_b, "
-        "round(SUM(pow(c - expected, 2) / expected), 4) AS chi2_contrib "
+        + sql_round_stable("SUM(pow(c - expected, 2) / expected)")
+        + " AS chi2_contrib "
         "FROM cells GROUP BY lang"
     ),
     doc="Distribution-drift detector between two corpus shards (here the "
@@ -145,8 +149,8 @@ def label_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("shard") == "shard_b", F.col("c")).otherwise(0))
         .cast("long")
         .alias("n_b"),
-        F.round(
-            F.sum(F.pow(F.col("c") - F.col("expected"), 2) / F.col("expected")), 4
+        round_stable(
+            F.sum(F.pow(F.col("c") - F.col("expected"), 2) / F.col("expected"))
         ).alias("chi2_contrib"),
     )
 

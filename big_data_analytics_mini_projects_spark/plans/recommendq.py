@@ -81,8 +81,8 @@ def _sql_predict(sims_cte: str) -> str:
     quantize=4) reading similarities from ``sims_cte``."""
     return (
         f"sw AS (SELECT item_a AS target, item_b AS item, "
-        f"CAST(round(sim * 10000) AS BIGINT) AS w FROM {sims_cte} "
-        "WHERE CAST(round(sim * 10000) AS BIGINT) > 0), "
+        f"CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS w FROM {sims_cte} "
+        "WHERE CAST(floor(sim * 10000 + 0.5) AS BIGINT) > 0), "
         "ov AS (SELECT target, user_id, COUNT(*) AS n_ov, "
         "SUM(rating * w) AS num, SUM(w) AS den "
         "FROM rf JOIN sw USING (item) GROUP BY target, user_id), "

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.text import round_stable, sql_round_stable
 from ..operators.aggregates import dsum, sql_dsum
 from ..sources.tables import load_table
 from .registry import register
@@ -209,8 +210,11 @@ def range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_avg_user_value",
     oracle=(
         "SELECT event_id, user_id, "
-        "round(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) "
-        "/ COUNT(*) OVER w, 4) AS roll_avg "
+        + sql_round_stable(
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) "
+            "/ COUNT(*) OVER w"
+        )
+        + " AS roll_avg "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
     ),
@@ -231,8 +235,8 @@ def rolling_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(
-            F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        round_stable(
+            F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w)
         ).alias("roll_avg"),
     )
 
@@ -352,8 +356,8 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT c_mktsegment, c_custkey, "
         "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
-        "round(percent_rank() OVER w, 4) AS prnk, "
-        "round(cume_dist() OVER w, 4) AS cd, "
+        + sql_round_stable("percent_rank() OVER w") + " AS prnk, "
+        + sql_round_stable("cume_dist() OVER w") + " AS cd, "
         "ntile(4) OVER (PARTITION BY c_mktsegment "
         "ORDER BY c_acctbal DESC, c_custkey) AS quartile "
         "FROM customer WINDOW w AS "
@@ -375,8 +379,8 @@ def window_ranks_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 4).alias("prnk"),
-        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        round_stable(F.percent_rank().over(w)).alias("prnk"),
+        round_stable(F.cume_dist().over(w)).alias("cd"),
         F.ntile(4).over(wt).alias("quartile"),
     )
 

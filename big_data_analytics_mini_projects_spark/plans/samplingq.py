@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.text import round_stable, sql_round_stable
 from ..functions.hashing import hex_bucket, hex_bucket_sql
 from ..operators.aggregates import dsum, sql_dsum
 from ..operators.sampling import sample_entities_hashbucket
@@ -27,16 +28,20 @@ def _stats_agg(df: DataFrame) -> DataFrame:
     return df.agg(
         n.alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(mean, 4).alias("mean"),
-        F.round(F.sqrt(s2 / n - mean * mean), 4).alias("std"),
+        round_stable(mean).alias("mean"),
+        round_stable(F.sqrt(s2 / n - mean * mean)).alias("std"),
     )
 
 
 _SQL_STATS = (
     "COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, "
-    f"round({sql_dsum('value')} / COUNT(*), 4) AS mean, "
-    f"round(sqrt({sql_dsum('value * value', 4)} / COUNT(*) - "
-    f"({sql_dsum('value')} / COUNT(*)) * ({sql_dsum('value')} / COUNT(*))), 4) AS std"
+    + sql_round_stable(f"{sql_dsum('value')} / COUNT(*)")
+    + " AS mean, "
+    + sql_round_stable(
+        f"sqrt({sql_dsum('value * value', 4)} / COUNT(*) - "
+        f"({sql_dsum('value')} / COUNT(*)) * ({sql_dsum('value')} / COUNT(*)))"
+    )
+    + " AS std"
 )
 
 

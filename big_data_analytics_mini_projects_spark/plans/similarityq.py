@@ -23,7 +23,7 @@ from ..operators.similarity import (
     simhash_near_pairs,
     simhash_values,
 )
-from ..functions.text import sql_tokens_ws, tokenize_ws
+from ..functions.text import round_stable, sql_round_stable, sql_tokens_ws, tokenize_ws
 from ..sources.tables import load_table, spread
 from .registry import register
 from ..caching import persist_tracked
@@ -347,7 +347,9 @@ common AS (SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS n_common
     "dedup_ngram_jaccard",
     oracle=(
         f"WITH {_SQL_SHINGLES} "
-        "SELECT ka, kb, n_common, round(jac, 4) AS jaccard FROM ("
+        "SELECT ka, kb, n_common, "
+        + sql_round_stable("jac")
+        + " AS jaccard FROM ("
         "SELECT ka, kb, n_common, "
         "CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jac "
         "FROM common JOIN sizes sa ON ka = sa.doc_id JOIN sizes sb ON kb = sb.doc_id) "
@@ -365,7 +367,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = ngram_shingles(docs, n=3)
     out = ngram_jaccard_pairs(sh, min_jaccard=0.2, df_cap=500)
-    return out.select("ka", "kb", "n_common", F.round("jaccard", 4).alias("jaccard"))
+    return out.select("ka", "kb", "n_common", round_stable("jaccard").alias("jaccard"))
 
 
 @register(

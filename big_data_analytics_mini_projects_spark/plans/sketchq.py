@@ -104,7 +104,7 @@ Q_PROBS = (0.5, 0.9, 0.99)
         "hits AS (SELECT p, bin, n_le FROM cum CROSS JOIN tot CROSS JOIN probs "
         "WHERE n_le >= ceil(p * n)) "
         "SELECT p, bin, CAST(n_le AS BIGINT) AS n_le, "
-        f"round({Q_LO} + (bin + 1) * {(Q_HI - Q_LO) / Q_BINS}, 4) AS est "
+        f"floor(({Q_LO} + (bin + 1) * {(Q_HI - Q_LO) / Q_BINS}) * 10000 + 0.5) / 10000 AS est "
         "FROM (SELECT p, bin, n_le, row_number() OVER (PARTITION BY p "
         "ORDER BY bin) AS rn FROM hits) WHERE rn = 1"
     ),

@@ -20,7 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.text import round4
+from ..functions.text import round_stable, sql_round_stable
 from ..operators.aggregates import dsum, sql_dsum
 from ..operators.relational import join_broadcast
 from ..sources.readers import scan_csv, scan_text_json
@@ -37,7 +37,8 @@ from .shared import reset_scratch as _reset, scratch_path as _scratch_path
         "SELECT CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS day, "
         "COUNT(*) AS n_tx, COUNT(DISTINCT user_id) AS n_users, "
         f"{sql_dsum('value', 4)} AS total_amount, "
-        f"round({sql_dsum('value', 4)} / COUNT(*), 4) AS avg_amount "
+        + sql_round_stable(f"{sql_dsum('value', 4)} / COUNT(*)")
+        + " AS avg_amount "
         "FROM events GROUP BY day"
     ),
     doc="Positional-CSV ingestion round trip (scan_csv, sampler_v02.py:41-48): "
@@ -63,7 +64,7 @@ def scan_csv_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tx"),
         F.countDistinct("user_id").alias("n_users"),
         dsum("amount", 4).alias("total_amount"),
-        F.round(dsum("amount", 4) / F.count(F.lit(1)), 4).alias("avg_amount"),
+        round_stable(dsum("amount", 4) / F.count(F.lit(1))).alias("avg_amount"),
     )
 
 
@@ -173,7 +174,8 @@ def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort_out_nation_stats",
     oracle=(
         "SELECT r_name, n_name, COUNT(c_custkey) AS n_customers, "
-        "round(AVG(c_acctbal), 4) AS avg_acctbal "
+        + sql_round_stable("AVG(c_acctbal)")
+        + " AS avg_acctbal "
         "FROM nation JOIN region ON n_regionkey = r_regionkey "
         "LEFT JOIN customer ON c_nationkey = n_nationkey "
         "GROUP BY r_name, n_name ORDER BY r_name, n_name"
@@ -198,7 +200,7 @@ def sort_out_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("r_name", "n_name")
         .agg(
             F.count("c_custkey").alias("n_customers"),
-            round4(F.avg("c_acctbal")).alias("avg_acctbal"),
+            round_stable(F.avg("c_acctbal")).alias("avg_acctbal"),
         )
         .orderBy("r_name", "n_name")
     )

@@ -13,6 +13,7 @@ from ..operators.textops import (
     lang_trigram_profiles,
     token_counts,
 )
+from ..functions.text import round_stable, sql_round_stable
 from ..sources.tables import load_table, spread
 from .registry import register
 from ..caching import persist_tracked
@@ -68,7 +69,8 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM documents) "
         "SELECT source, COUNT(*) AS n_docs, "
         "CAST(SUM(ws) AS BIGINT) AS ws_tokens, CAST(SUM(bpe) AS BIGINT) AS bpe_tokens, "
-        "round(CAST(SUM(bpe) AS DOUBLE) / COUNT(*), 4) AS bpe_per_doc "
+        + sql_round_stable("CAST(SUM(bpe) AS DOUBLE) / COUNT(*)")
+        + " AS bpe_per_doc "
         "FROM t GROUP BY source"
     ),
     doc="Corpus token accounting per source: whitespace + BPE-ish regex "
@@ -82,7 +84,7 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ws_tokens").alias("ws_tokens"),
         F.sum("bpe_tokens").alias("bpe_tokens"),
-        F.round(F.sum("bpe_tokens").cast("double") / F.count(F.lit(1)), 4).alias(
+        round_stable(F.sum("bpe_tokens").cast("double") / F.count(F.lit(1))).alias(
             "bpe_per_doc"
         ),
     )
@@ -121,7 +123,9 @@ def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s AS (SELECT doc_id, word, tf, dfreq, "
         "tf * ln((n_docs + 1.0) / (dfreq + 1.0)) AS score "
         "FROM tf JOIN dfreq USING (word) CROSS JOIN n) "
-        "SELECT doc_id, word, tf, dfreq, round(score, 4) AS tfidf "
+        "SELECT doc_id, word, tf, dfreq, "
+        + sql_round_stable("score")
+        + " AS tfidf "
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id "
         "ORDER BY score DESC, word) AS rn FROM s) WHERE rn <= 5"
     ),
@@ -157,5 +161,5 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("doc_id", "word", "tf", "dfreq", F.round("score", 4).alias("tfidf"))
+        .select("doc_id", "word", "tf", "dfreq", round_stable("score").alias("tfidf"))
     )

@@ -25,6 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import hex_bucket
+from ..functions.text import round_stable
 from ..session import ensure_runtime_confs
 
 
@@ -64,8 +65,8 @@ def stream_global_stats(events: DataFrame) -> DataFrame:
     mean = s1 / n
     return events.agg(
         n.alias("n"),
-        F.round(mean, 4).alias("mean"),
-        F.round(F.sqrt(s2 / n - mean * mean), 4).alias("std"),
+        round_stable(mean).alias("mean"),
+        round_stable(F.sqrt(s2 / n - mean * mean)).alias("std"),
     )
 
 
