@@ -113,14 +113,31 @@ def with_two_sided_t_pvalue(
 # ---------------------------------------------------------------------------
 
 #: Lanczos g=7 coefficients — spelled with full precision, identically, in the
-#: Spark expressions and the DuckDB SQL below.
-_LANCZOS = (
-    "0.99999999999980993", "676.5203681218851", "-1259.1392167224028",
-    "771.32342877765313", "-176.61502916214059", "12.507343278686905",
-    "-0.13857109526572012", "0.0000099843695780195716", "0.00000015056327351493116",
+#: Spark expressions and the DuckDB SQL below. Each is wrapped as
+#: CAST('<digits>' AS DOUBLE) (valid in both dialects): a BARE 17-digit
+#: numeric literal parses into DECIMAL in DuckDB, and its decimal->double
+#: conversion lands 1 ulp off the true nearest double for two of these
+#: constants (0.9189385332046727, 12.507343278686905) while Spark parses
+#: them exactly — a measured cross-engine divergence inside the p-value
+#: pipeline that the 6-decimal rounding merely happened to absorb. The
+#: string-parse path is correctly rounded in both engines.
+
+
+def _dlit(digits: str) -> str:
+    return f"CAST('{digits}' AS DOUBLE)"
+
+
+_LANCZOS = tuple(
+    _dlit(c)
+    for c in (
+        "0.99999999999980993", "676.5203681218851", "-1259.1392167224028",
+        "771.32342877765313", "-176.61502916214059", "12.507343278686905",
+        "-0.13857109526572012", "0.0000099843695780195716",
+        "0.00000015056327351493116",
+    )
 )
-_LG_HALF = "0.5723649429247001"  # lgamma(0.5) as an IEEE double literal
-_LN_SQRT_2PI = "0.9189385332046727"
+_LG_HALF = _dlit("0.5723649429247001")  # lgamma(0.5) as an IEEE double
+_LN_SQRT_2PI = _dlit("0.9189385332046727")
 _CF_STEPS = 200  # 2*M half-steps, M=100 full Lentz iterations
 
 

@@ -387,3 +387,49 @@ def test_diversity_matches_bruteforce_random(spark):
         ]
         want = sum(dists) / len(dists)
         assert abs(got[g] - want) < 1e-6, g
+
+
+def test_round_stable_cross_engine_parity(spark, duck):
+    """The binary-stable rounding formula (the F.round replacement that
+    closed the round-3 'residual hazard' class) must agree bit-for-bit
+    between Spark, DuckDB, and the plain-Python floor derivation — including
+    adversarial near-.xxxx5 values where F.round/round()/Python round() give
+    THREE different answers (shortest-repr half-up vs binary half-away vs
+    half-even)."""
+    import math
+
+    from big_data_analytics_mini_projects_spark.functions.text import (
+        round_stable,
+        sql_round_stable,
+    )
+
+    rng = random.Random(20260814)
+    vals = [rng.uniform(-1000, 1000) for _ in range(300)]
+    # adversarial: exact and 1-ulp-adjacent .xxxx5 boundaries at each digit
+    for d in (0, 2, 4, 6):
+        for k in range(-5, 6):
+            x = (k * 10 + 5) / (2 * 10**d) if d else k + 0.5
+            vals += [x, math.nextafter(x, -math.inf), math.nextafter(x, math.inf)]
+    for digits in (0, 2, 4, 6):
+        py = [math.floor(v * 10**digits + 0.5) / 10**digits for v in vals]
+        sdf = spark.createDataFrame([(v,) for v in vals], ["x"]).select(
+            round_stable(F.col("x"), digits).alias("r")
+        )
+        got_spark = [r["r"] for r in sdf.collect()]
+        # values go in as a REGISTERED double column, not SQL literals:
+        # DuckDB parses a 17-digit literal into DECIMAL(18,17) and its
+        # decimal->double conversion can land 1 ulp off (0.12499999999999999
+        # becomes 0.125); real oracles only round doubles computed from
+        # table data, which is what this exercises
+        import pandas as pd
+
+        duck.register("round_vals", pd.DataFrame({"x": pd.Series(vals, dtype="float64")}))
+        got_duck = [
+            r[0]
+            for r in duck.execute(
+                f"SELECT {sql_round_stable('x', digits)} FROM round_vals"
+            ).fetchall()
+        ]
+        duck.unregister("round_vals")
+        assert got_spark == py, f"digits={digits}: spark != python floor"
+        assert got_duck == py, f"digits={digits}: duckdb != python floor"
