@@ -50,6 +50,10 @@ BNLJ_OK = {
     "triangle_count_knn",
     # Q4's scalar floor date: a 1-row aggregate broadcast onto lineitem
     "tpch_q4_order_priority",
+    # TPC-H completion batch: 1-row scalar-subquery broadcasts
+    "tpch_q11_important_parts",   # global value total
+    "tpch_q15_top_supplier",      # MAX(total_revenue) scalar
+    "tpch_q22_dormant_customers", # avg positive balance scalar
 }
 
 
