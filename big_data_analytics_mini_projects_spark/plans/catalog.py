@@ -77,6 +77,7 @@ from . import fuzzydedupq  # noqa: F401
 # SFs). qaq/samplingq follow, unchanged since their round-3 green rows. --
 from . import similarityq  # noqa: F401  (CHANGED round 4: exchange-free minhash/simhash aggregation)
 from . import tpchfull  # noqa: F401  (NEW late round 4: TPC-H Q2/Q7-Q12/Q15-Q17/Q20-Q22 shapes — first driver verdict due in the ROUND-5 window alongside similarityq/textanalysisq)
+from . import privacyq  # noqa: F401  (NEW late round 4: PII redaction + classifier scoring — ROUND-5 window with tpchfull)
 from . import qaq  # noqa: F401  (PMI, chi-square drift, PNG codec, session windows, range overlap)
 from . import samplingq  # noqa: F401
 from . import warehouseq  # noqa: F401

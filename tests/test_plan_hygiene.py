@@ -54,6 +54,8 @@ BNLJ_OK = {
     "tpch_q11_important_parts",   # global value total
     "tpch_q15_top_supplier",      # MAX(total_revenue) scalar
     "tpch_q22_dormant_customers", # avg positive balance scalar
+    # broadcast 1-row model-weights frame
+    "quality_classifier_score",
 }
 
 
