@@ -309,3 +309,34 @@ def test_q4_exists_is_semi_join(spark, sf_dir):
 def test_q13_keeps_outer_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q13_customer_distribution", mode="simple")
     assert "LeftOuter" in plan
+
+
+def test_q2_correlated_min_is_one_window(spark, sf_dir):
+    """Q2's per-part best price must be a window over the aggregated offers
+    frame — not a second aggregate + self-join."""
+    plan = _plan(spark, sf_dir, "tpch_q2_min_price_supplier", mode="simple")
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q10_returned_items", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_correlations_compile_to_semi_and_anti(spark, sf_dir):
+    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti — one shuffle each on
+    orderkey, never a per-row re-scan or cartesian."""
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers", mode="simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_threshold_join_is_equi(spark, sf_dir):
+    """The cleared-division correlated-AVG predicate must ride the per-part
+    equi join as a post-join filter, not become a non-equi join."""
+    plan = _plan(spark, sf_dir, "tpch_q17_small_qty_revenue", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
