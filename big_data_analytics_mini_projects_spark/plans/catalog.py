@@ -74,7 +74,14 @@ from . import fuzzydedupq  # noqa: F401
 # best-effort coverage if the driver checks past 50. The same round-5
 # obligation covers textanalysisq (lang_id_ngram / doc_fingerprints k-gram
 # construction rewritten O(len^2)->O(len), values oracle-verified at three
-# SFs). qaq/samplingq follow, unchanged since their round-3 green rows. --
+# SFs), the LATE-ROUND-4 NEW tpchfull (13 TPC-H completion shapes) and
+# privacyq (PII redaction + classifier scoring) modules below, and every
+# query whose F.round->round_stable migration landed in the round-4
+# epilogue (qaq/corpusq/graphq/pipelineq/samplingq/sourcesq/relationalx/
+# sketches/mlq tails — values oracle-verified at three SFs, commit
+# 5121ea8). That is ~50 round-5 window slots exactly; plan NO new round-5
+# queries until the backlog clears. qaq/samplingq follow, unchanged since
+# their round-3 green rows except the epilogue migration. --
 from . import similarityq  # noqa: F401  (CHANGED round 4: exchange-free minhash/simhash aggregation)
 from . import tpchfull  # noqa: F401  (NEW late round 4: TPC-H Q2/Q7-Q12/Q15-Q17/Q20-Q22 shapes — first driver verdict due in the ROUND-5 window alongside similarityq/textanalysisq)
 from . import privacyq  # noqa: F401  (NEW late round 4: PII redaction + classifier scoring — ROUND-5 window with tpchfull)
