@@ -20,6 +20,19 @@ Scaling must preserve the WORKLOAD SHAPE, not just the row count:
 - every other table: symlinked verbatim (dimensions don't scale 1:1 with
   facts, and the rehearsal queries only read documents/lineitem).
 
+A second variant ``.scratch/sf1f`` ("full-fact") additionally scales
+``orders`` in LOCKSTEP with lineitem (``o_orderkey + r*100_000_000``,
+``o_custkey + r*10_000_000``, value columns verbatim): replica r's lineitem
+rows join replica r's orders, so derivations built on lineitem⋈orders —
+the CF ratings frame (plans/shared.py) and the PageRank trade graph
+(plans/graphq.py) — genuinely carry 10x edges/users instead of collapsing
+back to 1x when 9/10 of the scaled l_orderkeys miss the unscaled orders.
+Shape under sf1f: users (o_custkey) 10x with constant per-user rating
+counts (the CF pair fan-out term scales linearly), items (l_partkey) and
+suppliers stay dimension-fixed so their per-key support grows 10x — the
+"fixed dimension, growing facts" hub regime that stresses skew handling.
+Every other sf1f table symlinks the sf1 artifact.
+
 Deterministic: pure SQL over the driver parquet, no RNG, no timestamps.
 """
 
@@ -31,7 +44,15 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
+DSTF = os.path.join(os.path.dirname(DST), "sf1f")
 REPLICAS = 10
+
+
+def _copy(con, sql: str, dst: str) -> None:
+    """Idempotent COPY: skip when the target parquet already exists (reruns
+    after adding a new variant must not re-materialize finished outputs)."""
+    if not os.path.exists(dst):
+        con.execute(sql)
 
 
 def main() -> None:
@@ -39,7 +60,8 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS rep")
 
-    con.execute(
+    _copy(
+        con,
         f"""
         COPY (
           SELECT d.doc_id + r.rep * 10000000 AS doc_id,
@@ -53,10 +75,12 @@ def main() -> None:
           FROM read_parquet('{SRC}/documents.parquet') d CROSS JOIN r
           ORDER BY doc_id
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
-        """
+        """,
+        f"{DST}/documents.parquet",
     )
 
-    con.execute(
+    _copy(
+        con,
         f"""
         COPY (
           SELECT l.l_orderkey + r.rep * 100000000 AS l_orderkey,
@@ -65,7 +89,8 @@ def main() -> None:
                  l.l_linestatus, l.l_shipdate
           FROM read_parquet('{SRC}/lineitem.parquet') l CROSS JOIN r
         ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
-        """
+        """,
+        f"{DST}/lineitem.parquet",
     )
 
     # embeddings x10: replica r rotates each vector's components by r
@@ -74,7 +99,8 @@ def main() -> None:
     # sf0.1's similarity structure, replicas are mutually ~random. That is a
     # constant-near-dup-rate 10x vector corpus, the analogue of the
     # token-suffix trick for documents.
-    con.execute(
+    _copy(
+        con,
         f"""
         COPY (
           SELECT e.vec_id + r.rep * 10000000 AS vec_id,
@@ -86,13 +112,15 @@ def main() -> None:
           FROM read_parquet('{SRC}/embeddings.parquet') e CROSS JOIN r
           ORDER BY vec_id
         ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
-        """
+        """,
+        f"{DST}/embeddings.parquet",
     )
 
     # events x10: replica r offsets user_id/event_id, keeps ts/type/value —
     # 10x users with identical per-user event streams (per-user session and
     # window shapes constant, total volume 10x).
-    con.execute(
+    _copy(
+        con,
         f"""
         COPY (
           SELECT ev.event_id + r.rep * 100000000 AS event_id, ev.ts,
@@ -100,7 +128,8 @@ def main() -> None:
                  ev.event_type, ev.value, ev.props
           FROM read_parquet('{SRC}/events.parquet') ev CROSS JOIN r
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
-        """
+        """,
+        f"{DST}/events.parquet",
     )
 
     for t in (
@@ -118,6 +147,38 @@ def main() -> None:
     n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{DST}/documents.parquet')").fetchone()[0]
     m = con.execute(f"SELECT COUNT(*) FROM read_parquet('{DST}/lineitem.parquet')").fetchone()[0]
     print(f"sf1 ready at {DST}: documents={n} lineitem={m}")
+
+    # -- sf1f: the full-fact variant (scaled orders, everything else from sf1)
+    os.makedirs(DSTF, exist_ok=True)
+    _copy(
+        con,
+        f"""
+        COPY (
+          SELECT o.o_orderkey + r.rep * 100000000 AS o_orderkey,
+                 o.o_custkey + r.rep * 10000000 AS o_custkey,
+                 o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+                 o.o_orderpriority
+          FROM read_parquet('{SRC}/orders.parquet') o CROSS JOIN r
+        ) TO '{DSTF}/orders.parquet' (FORMAT PARQUET)
+        """,
+        f"{DSTF}/orders.parquet",
+    )
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        dst = f"{DSTF}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{DST}/{t}.parquet", dst)
+    k = con.execute(f"SELECT COUNT(*) FROM read_parquet('{DSTF}/orders.parquet')").fetchone()[0]
+    print(f"sf1f ready at {DSTF}: orders={k}")
 
 
 if __name__ == "__main__":

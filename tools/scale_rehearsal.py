@@ -4,7 +4,12 @@ per-query wall time and PER-STAGE shuffle/spill/input metrics from the Spark
 REST API, so the 100 TB story rests on a measured scaling curve instead of
 plan-shape argument alone. Results land in BASELINE.md by hand.
 
-Usage: python tools/scale_rehearsal.py [query ...]
+Usage: python tools/scale_rehearsal.py [--scaled-dir=PATH] [query ...]
+
+--scaled-dir picks the 10x dataset variant (default .scratch/sf1; pass
+.scratch/sf1f for queries whose derivation joins lineitem with orders —
+CF ratings, PageRank — so the joined frame actually carries 10x rows; see
+tools/make_sf1.py).
 """
 
 from __future__ import annotations
@@ -48,7 +53,16 @@ def _stage_rows(app_id: str) -> dict[int, dict]:
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT_QUERIES
+    argv = sys.argv[1:]
+    scaled_dir = os.path.join(_REPO_DIR, ".scratch", "sf1")
+    names = []
+    for a in argv:
+        if a.startswith("--scaled-dir="):
+            scaled_dir = os.path.abspath(a.split("=", 1)[1])
+        else:
+            names.append(a)
+    names = names or DEFAULT_QUERIES
+    scaled_label = os.path.basename(scaled_dir.rstrip("/"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (
         SparkSession.builder.appName("bdamp-scale-rehearsal")
@@ -67,7 +81,7 @@ def main() -> None:
     results = []
     for sf_label, sf_dir in [
         ("sf0.1", "/root/testdata/sf0.1"),
-        ("sf1", os.path.join(_REPO_DIR, ".scratch", "sf1")),
+        (scaled_label, scaled_dir),
     ]:
         for name in names:
             spec = QUERIES[name]
@@ -117,9 +131,9 @@ def main() -> None:
 
     # scaling summary: sf1/sf0.1 ratios per query
     by = {(r["query"], r["sf"]): r for r in results}
-    print("\n== scaling ratios (sf1 / sf0.1; data is 10x) ==", flush=True)
+    print(f"\n== scaling ratios ({scaled_label} / sf0.1; data is 10x) ==", flush=True)
     for name in names:
-        a, b = by.get((name, "sf0.1")), by.get((name, "sf1"))
+        a, b = by.get((name, "sf0.1")), by.get((name, scaled_label))
         if a and b:
             print(
                 f"{name}: wall {b['wall_s']/max(a['wall_s'],1e-9):.1f}x, "
