@@ -28,8 +28,18 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    """DuckDB twin of :func:`dsum`.
+
+    The VARCHAR bridge (decimal -> text -> double) is load-bearing: DuckDB's
+    direct ``CAST(SUM(decimal) AS DOUBLE)`` is 1 ulp off the correctly-rounded
+    value once the scaled integer exceeds 2^53 (measured at the 10x rehearsal
+    SF: tpch_q1 sum_charge 27864155010.94159 vs ...93), and DuckDB may also
+    rewrite the direct cast into an order-dependent sum-in-double (see
+    plans/linalgq.py matmul oracle note). Printing the exact decimal and
+    re-parsing uses strtod, which is correctly rounded — matching Spark's
+    BigDecimal.doubleValue path bit-for-bit at every magnitude.
+    """
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS VARCHAR) AS DOUBLE)"
 
 
 def count_by_key(df: DataFrame, keys: Sequence[str], out: str = "cnt") -> DataFrame:

@@ -65,7 +65,7 @@ def momentum_gd_standardized(n: float, sx: float, sy: float, sxy: float,
     return b, a
 
 
-_SQL_WIDE = "CAST(SUM(CAST({expr} AS DECIMAL(38,4))) AS DOUBLE)"
+_SQL_WIDE = "CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
 
 
 @register(

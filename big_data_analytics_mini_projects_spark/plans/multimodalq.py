@@ -113,12 +113,12 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_welford_stats",
     oracle=(
         "SELECT COUNT(*) AS n, "
-        + sql_round_stable("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)")
+        + sql_round_stable("CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)")
         + " AS mean, "
         + sql_round_stable(
-            "sqrt(CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) "
-            "- (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) "
-            "* (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)))"
+            "sqrt(CAST(CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) "
+            "- (CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)) "
+            "* (CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)))"
         )
         + " AS std FROM events"
     ),
@@ -137,7 +137,7 @@ def streaming_welford_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_hourly_counts",
     oracle=(
         "SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type, "
-        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY window_start_us, event_type"
     ),
     doc="Watermarked tumbling-window streaming aggregation (1h windows, 2h "
@@ -157,7 +157,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Outer CAST: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in pandas,
         # mismatching Spark's int64 in the driver's dtype-sensitive value-hash.
         "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents, "
-        "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 "
+        "CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0 "
         "/ COUNT(*) AS mean "
         "FROM events GROUP BY user_id"
     ),

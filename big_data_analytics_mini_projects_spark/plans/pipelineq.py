@@ -150,7 +150,7 @@ assign AS (SELECT vec_id, cid, d2 FROM (
     oracle=(
         f"WITH {_SQL_KM} "
         "SELECT cid AS cluster, COUNT(*) AS n_assigned, "
-        + sql_round_stable("CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE)")
+        + sql_round_stable("CAST(CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)")
         + " AS inertia "
         "FROM assign GROUP BY cid"
     ),
@@ -248,7 +248,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), "
         "dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS dfreq FROM toks GROUP BY word), "
         "stats AS (SELECT COUNT(*) AS n_docs, "
-        "CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / COUNT(*) AS avgdl FROM documents), "
+        "CAST(CAST((SELECT SUM(dl) FROM dl) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avgdl FROM documents), "
         "s AS (SELECT tf.doc_id, tf.word, tf.tf, dfreq.dfreq, "
         "ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5)) "
         f"* (tf * ({BM25_K1} + 1.0)) / (tf + {BM25_K1} * (1.0 - {BM25_B} "

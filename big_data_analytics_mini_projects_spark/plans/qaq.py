@@ -190,7 +190,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
         "SELECT user_id, MIN(t) AS session_start_us, "
         "MAX(t) + 600000000 AS session_end_us, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value "
         "FROM s GROUP BY user_id, sid"
     ),
     doc="Streaming session windows: the batch session_windows_users query "

@@ -90,7 +90,7 @@ t AS (
   FROM s)
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(ws) AS BIGINT) AS ws_tokens, CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
-       floor((CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+       floor((CAST(CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*))
              * 10000 + 0.5) / 10000 AS avg_quality
 FROM t GROUP BY source
 """

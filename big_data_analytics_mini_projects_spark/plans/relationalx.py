@@ -211,7 +211,7 @@ def range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT event_id, user_id, "
         + sql_round_stable(
-            "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) "
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) "
             "/ COUNT(*) OVER w"
         )
         + " AS roll_avg "

@@ -259,7 +259,7 @@ def ols_multi_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_dsum12(expr: str) -> str:
     """Mirror of operators/stats._dsum: exact decimal(38,12) sum -> double."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
 
 
 #: Sufficient statistics + fit mirroring ols_simple_closed expression for
@@ -328,7 +328,7 @@ def _wide_dsum(col, scale: int = 4):
 
 
 def _sql_wide_dsum(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS VARCHAR) AS DOUBLE)"
 
 
 @register(

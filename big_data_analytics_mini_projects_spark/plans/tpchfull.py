@@ -733,7 +733,7 @@ _Q22_BUCKETS = (0, 2, 4)
     oracle=(
         "WITH pool AS (SELECT c_custkey, c_acctbal, c_nationkey % 7 AS cntry "
         f"FROM customer WHERE c_nationkey % 7 IN {_Q22_BUCKETS}), "
-        "a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) "
+        "a AS (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) "
         "/ COUNT(*) AS avg_bal FROM pool WHERE c_acctbal > 0), "
         "dormant AS (SELECT cntry, c_acctbal FROM pool, a "
         "WHERE c_acctbal > avg_bal AND c_custkey NOT IN "

@@ -178,12 +178,12 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH {_SQL_VECS}, "
         "sq AS (SELECT label, list_dot_product(v, v) AS sq FROM e), "
         "s1 AS (SELECT label, COUNT(*) AS n, "
-        "CAST(SUM(CAST(sq AS DECIMAL(18,8))) AS DOUBLE) AS s1 FROM sq GROUP BY label), "
+        "CAST(CAST(SUM(CAST(sq AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS s1 FROM sq GROUP BY label), "
         "comp AS (SELECT label, unnest(v) AS x, "
         "unnest(range(1, len(v) + 1)) AS pos FROM e), "
-        "svp AS (SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS s "
+        "svp AS (SELECT label, pos, CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS s "
         "FROM comp GROUP BY label, pos), "
-        "sv AS (SELECT label, CAST(SUM(CAST(s * s AS DECIMAL(18,6))) AS DOUBLE) AS sv2 "
+        "sv AS (SELECT label, CAST(CAST(SUM(CAST(s * s AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sv2 "
         "FROM svp GROUP BY label) "
         f"SELECT label, n, {sql_round_stable('s1 / n')} AS avg_sq_norm, "
         f"{sql_round_stable('(2 * n * s1 - 2 * sv2) / (n * (n - 1))')} AS mean_pair_sqdist "
