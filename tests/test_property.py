@@ -433,3 +433,40 @@ def test_round_stable_cross_engine_parity(spark, duck):
         duck.unregister("round_vals")
         assert got_spark == py, f"digits={digits}: spark != python floor"
         assert got_duck == py, f"digits={digits}: duckdb != python floor"
+
+
+def test_dsum_varchar_bridge_parity_past_2pow53(spark, duck):
+    """dsum/sql_dsum must agree bit-for-bit with exact decimal arithmetic
+    even when the scaled integer sum exceeds 2^53 — the regime where
+    DuckDB's DIRECT ``CAST(SUM(decimal) AS DOUBLE)`` was measured 1 ulp off
+    (tpch_q1 sum_charge at the 10x rehearsal SF, fixed by the VARCHAR
+    bridge in sql_dsum). Values are k + j/64: exactly representable as
+    doubles AND as 6-decimal-place decimals, so the decimal cast is exact
+    in both engines and pure Python Decimal gives the ground truth."""
+    import decimal
+    import random as _random
+
+    import pandas as pd
+
+    from big_data_analytics_mini_projects_spark.operators.aggregates import (
+        dsum,
+        sql_dsum,
+    )
+
+    rng = _random.Random(20260814)
+    # ~2000 rows of ~9e8 -> sum ~1.8e12; scaled by 1e6 -> ~1.8e18 > 2^53
+    vals = [rng.randrange(1, 10**9) + rng.randrange(64) / 64 for _ in range(2000)]
+    truth = float(str(sum(decimal.Decimal(str(v)) for v in vals)))
+    assert abs(truth) * 10**6 > 2**53  # the regime under test
+
+    got_spark = (
+        spark.createDataFrame([(v,) for v in vals], ["x"])
+        .agg(dsum("x", 6).alias("s"))
+        .collect()[0]["s"]
+    )
+    duck.register("dsum_vals", pd.DataFrame({"x": pd.Series(vals, dtype="float64")}))
+    got_duck = duck.execute(f"SELECT {sql_dsum('x', 6)} FROM dsum_vals").fetchone()[0]
+    duck.unregister("dsum_vals")
+
+    assert got_spark == truth, f"spark {got_spark!r} != decimal truth {truth!r}"
+    assert got_duck == truth, f"duckdb {got_duck!r} != decimal truth {truth!r}"
