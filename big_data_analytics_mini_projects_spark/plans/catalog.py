@@ -38,6 +38,19 @@ green on its then-current code; round 4's window (verdict items 1-3) is:
 STANDING RULE (round-3 verdict item 1): any round that touches session.py or
 sources/ must re-window every timestamp-consuming query.
 
+ROUND-4 CONTINUATION (late): the 10x value-exact differential caught
+DuckDB's direct decimal->double cast drifting 1 ulp past 2^53, so EVERY
+decimal-sum oracle was bridged through VARCHAR (sql_dsum + 16 direct
+sites across mlq/multimodalq/pipelineq/qaq/qualityq/relationalx/statsq/
+tpchfull/vectorq). Values are identical at every gated SF — re-verified
+140/140 at sf0.01 AND sf0.1, and 136/139 value-exact at 10x — but the
+oracle text changed, so those modules join the round-5 re-window set
+already listed below (multimodalq is the only NEW module this adds; the
+rest were already obligated by the epilogue rounding migrations).
+multimodalq's obligation is the WEAKEST class (oracle-text-only, values
+engine-identical at every tested SF) — if the ~50 round-5 slots run out
+it defers to round 6 behind the changed-plan and new-module tiers.
+
 When adding a module/query, slot it BEFORE the already-green block so it gets
 driver coverage in its first round; shared helpers live in plans/shared.py
 (registration-free) so a cross-module import can never reorder this file's
