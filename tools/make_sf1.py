@@ -43,9 +43,15 @@ import os
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
-DSTF = os.path.join(os.path.dirname(DST), "sf1f")
-REPLICAS = 10
+#: BDAMP_SCALE_REPLICAS / BDAMP_SCALE_NAME extend the same construction to
+#: further decades (e.g. REPLICAS=100 NAME=sf10 -> a 100x dataset): the
+#: replica offsets (doc_id + r*1e7, l_orderkey + r*1e8, user_id + r*1e7)
+#: stay collision-free up to r=99. BDAMP_SCALE_SKIP_F=1 skips the
+#: full-fact orders twin.
+_NAME = os.environ.get("BDAMP_SCALE_NAME", "sf1")
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", _NAME)
+DSTF = os.path.join(os.path.dirname(DST), _NAME + "f")
+REPLICAS = int(os.environ.get("BDAMP_SCALE_REPLICAS", "10"))
 
 
 def _copy(con, sql: str, dst: str) -> None:
@@ -149,6 +155,8 @@ def main() -> None:
     print(f"sf1 ready at {DST}: documents={n} lineitem={m}")
 
     # -- sf1f: the full-fact variant (scaled orders, everything else from sf1)
+    if os.environ.get("BDAMP_SCALE_SKIP_F") == "1":
+        return
     os.makedirs(DSTF, exist_ok=True)
     _copy(
         con,

@@ -131,7 +131,7 @@ def main() -> None:
 
     # scaling summary: sf1/sf0.1 ratios per query
     by = {(r["query"], r["sf"]): r for r in results}
-    print(f"\n== scaling ratios ({scaled_label} / sf0.1; data is 10x) ==", flush=True)
+    print(f"\n== scaling ratios ({scaled_label} / sf0.1) ==", flush=True)
     for name in names:
         a, b = by.get((name, "sf0.1")), by.get((name, scaled_label))
         if a and b:
