@@ -92,9 +92,16 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     # Transition matrix, built once and reused by every iteration.
+    # Pre-partitioned on the join key BEFORE the persist: the cached
+    # hash-partitioning satisfies the rank-join's required distribution, so
+    # each iteration exchanges only the |V|-row ranks frame — measured at
+    # the 100x rehearsal (sf10f, 120M directed edges) this is the
+    # difference between re-shuffling ~1.5 GB of edges per iteration and
+    # the per-iteration floor (ranks + groupBy(dst) only).
     edges = persist_tracked(
         e.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .repartition(F.col("src"))
     )
     nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     # |V| as a driver scalar — the bounded scalar-collect class (same as the
