@@ -272,9 +272,15 @@ def connected_components(
       per-round join shape, O(log²) rounds.
     """
     fwd = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+    # Pre-partitioned on the per-round join key BEFORE the persist: the
+    # cached hash-partitioning satisfies every round's label-join
+    # distribution, so iterations exchange only the |V|-row labels frame
+    # (the same measured fix as PageRank's transition matrix,
+    # plans/graphq.py — 5.6x wall at the 100x rehearsal there).
     edges = persist_tracked(
         fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(F.col("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("node"))
