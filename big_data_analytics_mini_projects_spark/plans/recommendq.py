@@ -55,7 +55,17 @@ def _filtered_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The dedupe + two-stage support filter is 3 shuffles over the full
     # ratings derivation; downstream it feeds the similarity self-join (3
     # refs) and prediction (2 more). Persist -> computed once per query.
-    return persist_tracked(cf_filter_ratings(ratings_deduped(spark, sf_dir)))
+    # Pre-partitioned on user_id BEFORE the persist: the unsalted
+    # similarity self-join keys on user_id, so BOTH of its sides reuse the
+    # cached hash-partitioning and the join runs exchange-free (the same
+    # measured pattern as PageRank's transition matrix / the CC edge
+    # table). The salted twin and the item-keyed prediction join reshuffle
+    # from the cache as before.
+    return persist_tracked(
+        cf_filter_ratings(ratings_deduped(spark, sf_dir)).repartition(
+            F.col("user_id")
+        )
+    )
 
 
 @register(
