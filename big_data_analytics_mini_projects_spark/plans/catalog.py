@@ -50,6 +50,14 @@ rest were already obligated by the epilogue rounding migrations).
 multimodalq's obligation is the WEAKEST class (oracle-text-only, values
 engine-identical at every tested SF) — if the ~50 round-5 slots run out
 it defers to round 6 behind the changed-plan and new-module tiers.
+The continuation also landed three exchange-reuse PLAN changes (persisted
+frames pre-partitioned on their downstream join key; measured 1.3-5.6x at
+the 100x rehearsal): recommendq (cf family) sits in THIS round's tier-1
+window so its new plan gets a fresh r4 verdict; graphq (pagerank) and
+similarityq (connected components) were already in the round-5 re-window
+set — their obligation now covers plan changes, not just rounding
+migrations. All three families re-verified oracle-green at sf0.01 (+
+sf0.1 for CF/PageRank) by the builder after the change.
 
 When adding a module/query, slot it BEFORE the already-green block so it gets
 driver coverage in its first round; shared helpers live in plans/shared.py
