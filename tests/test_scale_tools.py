@@ -1,0 +1,34 @@
+"""Pins on the scale-rehearsal tooling contracts (round-4 verdict item 3 +
+ADVICE): the quadratic-oracle anchor-slice bridge and the make_sf1 lockstep
+guarantees the 10x differential claims rest on.
+"""
+
+from __future__ import annotations
+
+from tools.sf1_differential import SCALE_SLICE
+from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+
+
+def test_scale_slice_noop_at_base_sf(spark, sf_dir):
+    """The anchor-slice predicates restrict to replica 0 (ids < 1e7 =
+    make_sf1's replica offset). On the driver's own single-replica data every
+    predicate must be a NO-OP — that is what lets the driver's primary
+    all-pairs oracle pin slice == full at the base SF while the 10x run
+    checks the sliced result only."""
+    for name, pred in SCALE_SLICE.items():
+        df = QUERIES[name].build(spark, sf_dir)
+        full = df.count()
+        sliced = df.filter(pred).count()
+        assert sliced == full, (
+            f"{name}: slice '{pred}' drops {full - sliced} of {full} rows at "
+            "base SF — the bridge's slice==full grounding is broken"
+        )
+
+
+def test_scale_slice_queries_have_quadratic_primary_oracles():
+    """The slice bridge exists ONLY for queries whose primary oracle is
+    all-pairs by construction; anything else must run the full differential
+    at scale."""
+    for name in SCALE_SLICE:
+        assert name in QUERIES
+        assert QUERIES[name].oracle is not None

@@ -31,7 +31,9 @@ Shape under sf1f: users (o_custkey) 10x with constant per-user rating
 counts (the CF pair fan-out term scales linearly), items (l_partkey) and
 suppliers stay dimension-fixed so their per-key support grows 10x — the
 "fixed dimension, growing facts" hub regime that stresses skew handling.
-Every other sf1f table symlinks the sf1 artifact.
+``customer`` scales in lockstep with orders (c_custkey + r*1e7) so
+customer-joined shapes carry real 10x join cardinality; every other sf1f
+table symlinks the sf1 artifact.
 
 Deterministic: pure SQL over the driver parquet, no RNG, no timestamps.
 """
@@ -56,9 +58,17 @@ REPLICAS = int(os.environ.get("BDAMP_SCALE_REPLICAS", "10"))
 
 def _copy(con, sql: str, dst: str) -> None:
     """Idempotent COPY: skip when the target parquet already exists (reruns
-    after adding a new variant must not re-materialize finished outputs)."""
-    if not os.path.exists(dst):
-        con.execute(sql)
+    after adding a new variant must not re-materialize finished outputs).
+    The COPY lands at a temp path and is os.rename'd into place so an
+    interrupted run can never leave a partial file that a rerun would treat
+    as complete (round-4 ADVICE)."""
+    if os.path.exists(dst):
+        return
+    tmp = dst + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    con.execute(sql.replace(f"TO '{dst}'", f"TO '{tmp}'"))
+    os.rename(tmp, dst)
 
 
 def main() -> None:
@@ -171,10 +181,25 @@ def main() -> None:
         """,
         f"{DSTF}/orders.parquet",
     )
+    # customer scales in LOCKSTEP with orders (c_custkey + r*1e7, value
+    # columns verbatim) so customer-joined shapes (Q3/Q5/Q7/Q10/Q13/Q18/Q22,
+    # the CF user side) genuinely carry {REPLICAS}x join cardinality —
+    # round-4 ADVICE: symlinking the unscaled customer left 9/10 of scaled
+    # orders without a customer row.
+    _copy(
+        con,
+        f"""
+        COPY (
+          SELECT c.c_custkey + r.rep * 10000000 AS c_custkey,
+                 c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+          FROM read_parquet('{SRC}/customer.parquet') c CROSS JOIN r
+        ) TO '{DSTF}/customer.parquet' (FORMAT PARQUET)
+        """,
+        f"{DSTF}/customer.parquet",
+    )
     for t in (
         "region",
         "nation",
-        "customer",
         "supplier",
         "part",
         "lineitem",

@@ -63,6 +63,11 @@ def main() -> None:
             names.append(a)
     names = names or DEFAULT_QUERIES
     scaled_label = os.path.basename(scaled_dir.rstrip("/"))
+    if scaled_label == "sf0.1":
+        # the results dict keys on (query, label); a scaled dir whose
+        # basename collides with the baseline would silently overwrite one
+        # side of the ratio summary (round-4 ADVICE)
+        sys.exit("--scaled-dir basename must not be 'sf0.1' (baseline label)")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (
         SparkSession.builder.appName("bdamp-scale-rehearsal")

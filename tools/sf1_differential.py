@@ -6,8 +6,26 @@ than the driver: floats exact).
 The per-round correctness gate stops at sf0.1; the scale rehearsal
 (tools/scale_rehearsal.py) times 10x runs but never checks values. This tool
 closes that gap for flagship queries whose DuckDB oracle is itself linear in
-the data (the all-pairs-oracle queries — minhash_jaccard etc. — stay out:
-their ORACLES are quadratic by construction, not the engine plans).
+the data.
+
+Quadratic-oracle bridge (round-4 verdict item 3) — the three formerly
+excluded all-pairs-oracle queries are now coverable at scale:
+
+- ``ann_cosine_topk``: its oracle's pair term is (5 fixed query vectors) x
+  corpus — O(N), never quadratic; the round-4 exclusion was a blanket label.
+- ``dedup_jaccard_prefix``: its naive oracle joins shingles on gram; the
+  scale construction (tools/make_sf1.py) keeps replica token spaces
+  DISJOINT, so the join fan-out — and hence the hash-join cost — is
+  (per-replica cost) x replicas: linear in the data, quadratic only within
+  the constant-size replica.
+- ``dedup_embedding_cosine``: genuinely quadratic (rotated replicas are
+  mutually comparable, so the subset all-pairs term is (replicas*N/4)^2).
+  SCALE_SLICE bridges it: at 10x+ BOTH engines are restricted to the
+  replica-0 anchor slice (smaller pair id < 1e7) — oracle cost becomes
+  O(anchors x full scaled corpus), linear in replicas, while candidates
+  still span every replica. At the base sf0.1 (one replica) the slice IS
+  the full result, so the driver's primary all-pairs oracle already pins
+  slice == full there; tests/test_scale_tools.py pins the no-op property.
 
 Usage: python tools/sf1_differential.py [--dir=.scratch/sf1] [query ...]
 """
@@ -32,6 +50,14 @@ TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
+
+#: Anchor-slice predicates for genuinely-quadratic oracles (module
+#: docstring): applied to BOTH the engine DataFrame and the oracle at scale.
+#: Anchored on replica 0 (ids < 1e7 = make_sf1's replica offset), so at the
+#: base sf0.1 every predicate is a no-op.
+SCALE_SLICE = {
+    "dedup_embedding_cosine": "ka < 10000000",
+}
 
 #: Flagship defaults: one per major family, linear-oracle only.
 DEFAULT_QUERIES = [
@@ -71,8 +97,14 @@ def main() -> None:
             print(f"SKIP {name}: no oracle", flush=True)
             continue
         t0 = time.perf_counter()
+        sliced = SCALE_SLICE.get(name)
+        df = spec.build(spark, data_dir)
+        oracle = spec.oracle
+        if sliced is not None:
+            df = df.filter(sliced)
+            oracle = f"SELECT * FROM ({oracle}) WHERE {sliced}"
         try:
-            assert_df_equal(spec.build(spark, data_dir), duck, spec.oracle)
+            assert_df_equal(df, duck, oracle)
             print(
                 f"PASS {name} ({time.perf_counter() - t0:.1f}s)", flush=True
             )
