@@ -267,9 +267,14 @@ def connected_components(
     - convergence is detected via Σlabels (labels only decrease, so the sum
       strictly decreases until fixpoint) — one cheap agg instead of a
       change-count join;
-    - for graphs with giant components / large diameters, swap the loop body
-      for alternating large-star/small-star (Kiveris et al. 2014) — same
-      per-round join shape, O(log²) rounds.
+    - exhausting ``max_iters`` without reaching the fixpoint RAISES rather
+      than returning silently-wrong labels (a component whose diameter
+      exceeds the bound would keep several labels). For graphs where the
+      diameter is not structurally bounded — transitive near-dup chains in
+      a web-scale corpus — use :func:`connected_components_twophase`
+      (O(log² n) rounds regardless of diameter, same (node, label)
+      contract); the long-chain fixture in tests/test_similarity.py pins
+      both behaviors.
     """
     fwd = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
     # Pre-partitioned on the per-round join key BEFORE the persist: the
@@ -289,6 +294,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
@@ -305,9 +311,17 @@ def connected_components(
         )
         total = labels.agg(F.sum("label")).collect()[0][0]
         if total == prev:
+            converged = True
             break
         prev = total
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach its fixpoint in {max_iters} "
+            "rounds — the graph's diameter exceeds the bound. Use "
+            "connected_components_twophase (diameter-independent) or raise "
+            "max_iters."
+        )
     return labels
 
 

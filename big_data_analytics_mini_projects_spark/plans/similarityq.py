@@ -395,7 +395,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-source kept/dropped accounting. Composes the whole pipeline "
     "(shingle -> sign -> band -> score -> cluster -> apply) into one "
     "driver-free DAG; the anti join is the only touch on the full corpus "
-    "beyond the signature scan.",
+    "beyond the signature scan. CC VARIANT (round-4 verdict item 5): this "
+    "composes min-label connected_components, which is O(diameter) rounds "
+    "and RAISES if the bound is exceeded — the LSH pair graph here is "
+    "Jaccard-thresholded at 0.5, so components are near-clique clusters of "
+    "mutually-similar docs, not unbounded chains. At 100 TB, where "
+    "transitive chains (A~B~C~... with A!~C) can push the diameter past "
+    "any fixed bound, swap in connected_components_twophase — same "
+    "(node, label) contract, O(log^2 n) rounds regardless of diameter; "
+    "the long-chain fixture in tests/test_similarity.py pins both "
+    "behaviors.",
     tags=("dedup", "graph", "pipeline"),
 )
 def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

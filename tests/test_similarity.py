@@ -117,6 +117,46 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_long_chain(spark):
+    """The diameter story behind the dedup-apply CC choice (round-4 verdict
+    item 5), pinned on a 40-node path graph (diameter 39):
+
+    - min-label propagation needs ~diameter rounds; with a smaller bound it
+      must RAISE, never return silently-wrong labels;
+    - large-star/small-star resolves the same chain within its default
+      O(log^2 n) round budget — the variant the apply pipeline swaps in
+      when component diameter is not structurally bounded.
+    """
+    from big_data_analytics_mini_projects_spark.operators.similarity import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "ka long, kb long"
+    )
+    want = {i: 0 for i in range(n)}
+
+    # twophase: correct well inside its default 12-round budget
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_twophase(pairs).collect()
+    }
+    assert got == want
+
+    # min-label: correct when the bound covers the diameter...
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs, max_iters=n + 1).collect()
+    }
+    assert got == want
+
+    # ...and refuses to emit non-fixpoint labels when it does not
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(pairs, max_iters=5)
+
+
 def test_connected_components_empty(spark):
     from big_data_analytics_mini_projects_spark.operators.similarity import (
         connected_components,
