@@ -398,6 +398,11 @@ def connected_components_twophase(
         if cur == prev:
             break
         prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_twophase did not stabilize in {max_rounds} "
+            "rounds (O(log^2 n) expected) — raise max_rounds."
+        )
     # Fixpoint edges are (member, component_min) stars; isolated-in-pairs
     # nodes (self-pair inputs) label themselves.
     lab = edges.select(
