@@ -35,6 +35,13 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = True  # include in bench.py suite
+    #: Optional scale-form oracle: same result as ``oracle`` but written to
+    #: run at 100x data (e.g. the minhash signature built as one wide
+    #: min-aggregate pass instead of a seeds-cross-join scatter, which needs
+    #: more spill than a single box has at sf10). The driver gate always
+    #: uses ``oracle``; tools/sf1_differential.py prefers this at scale;
+    #: tests/test_scale_tools.py pins oracle == scale_oracle at driver SFs.
+    scale_oracle: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -46,6 +53,7 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
     bench: bool = True,
+    scale_oracle: str | None = None,
 ):
     def deco(fn: Builder) -> Builder:
         if name in QUERIES:
@@ -63,7 +71,9 @@ def register(
             _last_built_module = fn.__module__
             return fn(spark, sf_dir)
 
-        QUERIES[name] = QuerySpec(name, build, oracle, doc or (fn.__doc__ or ""), tags, bench)
+        QUERIES[name] = QuerySpec(
+            name, build, oracle, doc or (fn.__doc__ or ""), tags, bench, scale_oracle
+        )
         return fn
 
     return deco

@@ -62,6 +62,30 @@ sigs AS (SELECT doc_id, seed, MIN({_SQL_H64_SH}) AS mh
          FROM shx CROSS JOIN seeds GROUP BY doc_id, seed)
 """
 
+#: Scale form of _SQL_SH_SIGS: byte-identical `sigs` rows, but the seeds
+#: CROSS JOIN scatter (|shingles| x NUM_HASHES rows materialized through a
+#: grouped aggregate — more spill than one box has at sf10) is replaced by
+#: ONE pass over the shingles computing all NUM_HASHES minima as aggregate
+#: columns, then unpivoted. This mirrors the engine's round-4 exchange-free
+#: signature rewrite on the DuckDB side; tests/test_scale_tools.py pins the
+#: two forms equal at driver SFs, so the scatter form stays the (structurally
+#: independent) driver-gate oracle while this form carries the 100x check.
+_SQL_SH_SIGS_WIDE = f"""
+tarr AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents),
+shx AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE []::VARCHAR[] END) AS shingle FROM tarr)),
+sigw AS (SELECT doc_id, {", ".join(
+    f"MIN(('0x' || substr(md5('{s}:' || shingle), 1, 15))::BIGINT) AS mh{s}"
+    for s in range(NUM_HASHES)
+)} FROM shx GROUP BY doc_id),
+sigs AS (SELECT doc_id, unnest(range({NUM_HASHES})) AS seed,
+         unnest([{", ".join(f"mh{s}" for s in range(NUM_HASHES))}]) AS mh
+         FROM sigw)
+"""
+
 
 def _ws_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -205,6 +229,10 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=(
         f"WITH {_SQL_SH_SIGS}, {_SQL_BANDS}, {_SQL_SCORED} "
+        "SELECT ka, kb, est FROM scored"
+    ),
+    scale_oracle=(
+        f"WITH {_SQL_SH_SIGS_WIDE}, {_SQL_BANDS}, {_SQL_SCORED} "
         "SELECT ka, kb, est FROM scored"
     ),
     doc="Full near-dup pipeline: shingle->minhash->band->bucket-join->verify "
@@ -370,25 +398,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("ka", "kb", "n_common", round_stable("jaccard").alias("jaccard"))
 
 
+#: Everything downstream of the `sigs` CTE in the apply-step oracle — shared
+#: verbatim by the driver-gate (scatter sigs) and scale (wide sigs) forms.
+_SQL_APPLY_TAIL = (
+    f"{_SQL_BANDS}, {_SQL_SCORED}, "
+    "edges AS (SELECT ka AS a, kb AS b FROM scored "
+    "UNION SELECT kb, ka FROM scored), "
+    "nodes AS (SELECT DISTINCT a AS n FROM edges), "
+    "reach(n, m) AS (SELECT n, n FROM nodes UNION "
+    "SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a), "
+    "dropped AS (SELECT n AS doc_id FROM reach GROUP BY n "
+    "HAVING MIN(m) <> n) "
+    "SELECT source, COUNT(*) AS n_docs, "
+    "CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_kept, "
+    "CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dropped "
+    "FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id "
+    "GROUP BY source"
+)
+
+
 @register(
     "dedup_apply_canonical",
-    oracle=(
-        f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_BANDS}, {_SQL_SCORED}, "
-        "edges AS (SELECT ka AS a, kb AS b FROM scored "
-        "UNION SELECT kb, ka FROM scored), "
-        "nodes AS (SELECT DISTINCT a AS n FROM edges), "
-        "reach(n, m) AS (SELECT n, n FROM nodes UNION "
-        "SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a), "
-        "dropped AS (SELECT n AS doc_id FROM reach GROUP BY n "
-        "HAVING MIN(m) <> n) "
-        "SELECT source, COUNT(*) AS n_docs, "
-        "CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n_kept, "
-        "CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n_dropped "
-        "FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id "
-        "GROUP BY source"
-    ),
+    oracle=f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_APPLY_TAIL}",
+    scale_oracle=f"WITH RECURSIVE {_SQL_SH_SIGS_WIDE}, {_SQL_APPLY_TAIL}",
     doc="The APPLY step of near-dup dedup — what a corpus user actually "
     "ships: minhash-LSH near-dup pairs -> connected components -> every "
     "non-canonical member (label != self) anti-joined out of the corpus; "

@@ -25,6 +25,28 @@ def test_scale_slice_noop_at_base_sf(spark, sf_dir):
         )
 
 
+def test_scale_oracles_equal_primary_oracles(duck):
+    """Every scale-form oracle (the 100x-runnable rewrite the 10x/100x
+    differential substitutes) must produce EXACTLY the primary driver-gate
+    oracle's result at the base SF — oracle-vs-oracle inside DuckDB, no
+    Spark involved. This is the grounding that lets the structurally
+    independent scatter form remain the driver oracle while the wide form
+    carries the scale check."""
+    import pandas as pd
+
+    checked = 0
+    for name, spec in QUERIES.items():
+        if spec.scale_oracle is None:
+            continue
+        checked += 1
+        a = duck.execute(spec.oracle).df()
+        b = duck.execute(spec.scale_oracle).df()
+        a = a.sort_values(list(a.columns)).reset_index(drop=True)
+        b = b.sort_values(list(b.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_exact=True), name
+    assert checked >= 2  # dedup_minhash_lsh + dedup_apply_canonical
+
+
 def test_scale_slice_queries_have_quadratic_primary_oracles():
     """The slice bridge exists ONLY for queries whose primary oracle is
     all-pairs by construction; anything else must run the full differential

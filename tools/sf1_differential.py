@@ -85,6 +85,17 @@ def main() -> None:
     spark = get_spark("bdamp-sf1-differential")
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
+    # At 100x the heavy oracles (500-hash minhash signatures = tens of
+    # billions of hash rows) spill far less when DuckDB's aggregate hash
+    # tables get real memory: BDAMP_DUCK_MEM (e.g. "80GB") sizes the limit
+    # explicitly — run the Spark side small (SPARK_GRAFT_DRIVER_MEM=8g)
+    # when doing so. Temp spill goes under .scratch (gitignored).
+    duck_mem = os.environ.get("BDAMP_DUCK_MEM")
+    if duck_mem:
+        duck.execute(f"SET memory_limit='{duck_mem}'")
+    tmp = os.path.join(_REPO_DIR, ".scratch", "duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    duck.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         duck.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{data_dir}/{t}.parquet')"
@@ -99,7 +110,9 @@ def main() -> None:
         t0 = time.perf_counter()
         sliced = SCALE_SLICE.get(name)
         df = spec.build(spark, data_dir)
-        oracle = spec.oracle
+        # prefer the scale-form oracle (result-identical; pinned equal to
+        # the driver-gate form at base SFs by tests/test_scale_tools.py)
+        oracle = spec.scale_oracle or spec.oracle
         if sliced is not None:
             df = df.filter(sliced)
             oracle = f"SELECT * FROM ({oracle}) WHERE {sliced}"
