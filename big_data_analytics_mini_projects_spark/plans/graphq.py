@@ -34,15 +34,24 @@ DAMPING = 0.85
 N_PR_ITERS = 3
 
 
-def _pagerank_oracle(iters: int = N_PR_ITERS) -> str:
+def _pagerank_oracle(iters: int = N_PR_ITERS, materialized: bool = False) -> str:
+    """``materialized=True`` is the scale form: identical SQL except the
+    multiply-referenced CTEs carry DuckDB's AS MATERIALIZED hint. Without
+    it DuckDB inlines e0 into e (twice), e into outw+ed, and ed into every
+    unrolled iteration — the 60M-row lineitem join re-evaluates ~12x at
+    sf10f and the stacked spills exceed a single box's temp disk. With it
+    the transition matrix materializes once (the exact analogue of the
+    engine's persisted `edges` frame). Result-identical; pinned equal at
+    base SFs by tests/test_scale_tools.py."""
+    m = " MATERIALIZED" if materialized else ""
     head = (
-        "WITH e0 AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
+        f"WITH e0 AS{m} (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
         "'c' || CAST(o_custkey AS VARCHAR) AS dst, COUNT(*) AS w "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), "
-        "e AS (SELECT src, dst, w FROM e0 "
+        f"e AS{m} (SELECT src, dst, w FROM e0 "
         "UNION ALL SELECT dst AS src, src AS dst, w FROM e0), "
         "outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src), "
-        "ed AS (SELECT e.src, e.dst, e.w / outw.ow AS p "
+        f"ed AS{m} (SELECT e.src, e.dst, e.w / outw.ow AS p "
         "FROM e JOIN outw USING (src)), "
         "nn AS (SELECT COUNT(*) AS n FROM outw), "
         "r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM outw)"
@@ -63,6 +72,7 @@ def _pagerank_oracle(iters: int = N_PR_ITERS) -> str:
 @register(
     "pagerank_trade_graph",
     oracle=_pagerank_oracle(),
+    scale_oracle=_pagerank_oracle(materialized=True),
     doc="Three unrolled PageRank iterations (damping 0.85) over the "
     "bidirectional supplier<->customer trade graph (edge weight = lineitem "
     "count): edges+transition probabilities built once and persisted, each "

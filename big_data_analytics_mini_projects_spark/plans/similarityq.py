@@ -171,6 +171,12 @@ bands AS (SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
         "FROM bands a JOIN bands b USING (band, band_sig) "
         "WHERE a.doc_id < b.doc_id"
     ),
+    scale_oracle=(
+        f"WITH {_SQL_SH_SIGS_WIDE}, {_SQL_BANDS} "
+        "SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb "
+        "FROM bands a JOIN bands b USING (band, band_sig) "
+        "WHERE a.doc_id < b.doc_id"
+    ),
     doc="LSH banding -> candidate pairs (lsh_band, Part_2.pdf p5-6): 32-row "
     "trigram-shingle signatures split into 8 bands x 4 rows; pairs agreeing "
     "on any whole band become candidates (capture prob 1-(1-s^4)^8).",
@@ -244,17 +250,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored_pairs(spark, sf_dir)
 
 
+#: Cluster-resolution tail shared by both CC variants' oracles and, below
+#: the sigs CTE, by their scale forms.
+_SQL_CLUSTER_TAIL = (
+    f"{_SQL_BANDS}, {_SQL_SCORED}, "
+    "edges AS (SELECT ka AS a, kb AS b FROM scored "
+    "UNION SELECT kb, ka FROM scored), "
+    "nodes AS (SELECT DISTINCT a AS n FROM edges), "
+    "reach(n, m) AS (SELECT n, n FROM nodes UNION "
+    "SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a) "
+    "SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n"
+)
+
+
 @register(
     "dedup_clusters",
-    oracle=(
-        f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_BANDS}, {_SQL_SCORED}, "
-        "edges AS (SELECT ka AS a, kb AS b FROM scored "
-        "UNION SELECT kb, ka FROM scored), "
-        "nodes AS (SELECT DISTINCT a AS n FROM edges), "
-        "reach(n, m) AS (SELECT n, n FROM nodes UNION "
-        "SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a) "
-        "SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n"
-    ),
+    oracle=f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_CLUSTER_TAIL}",
+    scale_oracle=f"WITH RECURSIVE {_SQL_SH_SIGS_WIDE}, {_SQL_CLUSTER_TAIL}",
     doc="Duplicate-cluster resolution: connected components over the scored "
     "near-dup pairs by iterative min-label propagation (one shuffle per "
     "round, lineage truncated per round); cluster = min doc_id = the keeper "
@@ -269,15 +281,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters_twophase",
-    oracle=(
-        f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_BANDS}, {_SQL_SCORED}, "
-        "edges AS (SELECT ka AS a, kb AS b FROM scored "
-        "UNION SELECT kb, ka FROM scored), "
-        "nodes AS (SELECT DISTINCT a AS n FROM edges), "
-        "reach(n, m) AS (SELECT n, n FROM nodes UNION "
-        "SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a) "
-        "SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n"
-    ),
+    oracle=f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_CLUSTER_TAIL}",
+    scale_oracle=f"WITH RECURSIVE {_SQL_SH_SIGS_WIDE}, {_SQL_CLUSTER_TAIL}",
     doc="dedup_clusters through the alternating large-star/small-star CC "
     "(Kiveris et al. 2014; operators/similarity.py "
     "connected_components_twophase): O(log^2 n) rounds independent of "
