@@ -338,11 +338,53 @@ cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
          FROM blocks a JOIN blocks b USING (blk, bv) WHERE a.doc_id < b.doc_id)
 """
 
+#: Scale form of _SQL_SIMHASH (same pattern as _SQL_SH_SIGS_WIDE): the
+#: th CROSS JOIN bits scatter (|shingles| x 60 rows through a grouped
+#: aggregate — the >78 GB spill class at sf10) becomes ONE pass computing
+#: all 60 bit contributions as aggregate columns, unpivoted back to the
+#: (doc_id, pos, p2, c) rows the rest of the pipeline consumes unchanged.
+_SQL_SIMHASH_WIDE = f"""
+tarr AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents),
+shx AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE []::VARCHAR[] END) AS shingle FROM tarr)),
+th AS (SELECT doc_id, ('0x' || substr(md5('sh:' || shingle), 1, 15))::BIGINT AS h FROM shx),
+contribw AS (SELECT doc_id, {', '.join(
+    f'SUM(((h // {v}) % 2) * 2 - 1) AS c{p}' for p, v in BIT_POWERS
+)} FROM th GROUP BY doc_id),
+contrib AS (SELECT doc_id,
+            unnest([{', '.join(str(p) for p, _ in BIT_POWERS)}]) AS pos,
+            unnest([{', '.join(f'{v}::BIGINT' for _, v in BIT_POWERS)}]) AS p2,
+            unnest([{', '.join(f'c{p}' for p, _ in BIT_POWERS)}]) AS c
+            FROM contribw),
+bitv AS (SELECT doc_id, pos, p2, CASE WHEN c > 0 THEN 1 ELSE 0 END AS bit FROM contrib),
+sim AS (SELECT doc_id, SUM(bit * p2) AS simhash,
+        SUM(CASE WHEN pos // 15 = 0 THEN bit * CAST(pow(2, pos % 15) AS BIGINT) ELSE 0 END) AS b0,
+        SUM(CASE WHEN pos // 15 = 1 THEN bit * CAST(pow(2, pos % 15) AS BIGINT) ELSE 0 END) AS b1,
+        SUM(CASE WHEN pos // 15 = 2 THEN bit * CAST(pow(2, pos % 15) AS BIGINT) ELSE 0 END) AS b2,
+        SUM(CASE WHEN pos // 15 = 3 THEN bit * CAST(pow(2, pos % 15) AS BIGINT) ELSE 0 END) AS b3
+        FROM bitv GROUP BY doc_id),
+blocks AS (SELECT doc_id, 0 AS blk, b0 AS bv FROM sim UNION ALL
+           SELECT doc_id, 1, b1 FROM sim UNION ALL
+           SELECT doc_id, 2, b2 FROM sim UNION ALL
+           SELECT doc_id, 3, b3 FROM sim),
+cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+         FROM blocks a JOIN blocks b USING (blk, bv) WHERE a.doc_id < b.doc_id)
+"""
+
 
 @register(
     "dedup_simhash",
     oracle=(
         f"WITH {_SQL_SIMHASH} "
+        "SELECT ka, kb, bit_count(xor(ha.simhash, hb.simhash)) AS hamming "
+        "FROM cand JOIN sim ha ON ka = ha.doc_id JOIN sim hb ON kb = hb.doc_id "
+        "WHERE bit_count(xor(ha.simhash, hb.simhash)) <= 8"
+    ),
+    scale_oracle=(
+        f"WITH {_SQL_SIMHASH_WIDE} "
         "SELECT ka, kb, bit_count(xor(ha.simhash, hb.simhash)) AS hamming "
         "FROM cand JOIN sim ha ON ka = ha.doc_id JOIN sim hb ON kb = hb.doc_id "
         "WHERE bit_count(xor(ha.simhash, hb.simhash)) <= 8"
