@@ -41,12 +41,15 @@ backlog, in the verdict's priority order:
   6. warehouseq/decisionq — r3-green and untouched since (not in the
      epilogue-migration or sql_dsum lists).
 
-ROUND-6 QUEUE (so the next rotation is already planned): (a) any tier-4
-spill the driver didn't reach (multimodalq first — unless its weakest-class
-status keeps deferring it behind changed code); (b) the streaming twins
-verdict item 7: streaming_user_stats / streaming_scd2_intervals rotated into
-the window now that the backlog clears; (c) new queries again, budgeted
-<= 15 per the round-3 rule.
+ROUND-6 QUEUE (so the next rotation is already planned): (a) any tier-2/4
+spill the driver didn't reach (samplingq/sourcesq/relationalx epilogue
+tails, then multimodalq — unless its weakest-class status keeps deferring
+it behind changed code); (b) the streaming twins verdict item 7:
+streaming_user_stats / streaming_scd2_intervals rotated into the window now
+that the backlog clears; (c) new queries again, budgeted <= 15 per the
+round-3 rule. Already closed during round 5 (don't re-plan): the 3
+quadratic-oracle bridges, the pagerank 100x scale oracle, and the 23-query
+100x value-exact flagship set (BASELINE.md round-5 addenda).
 
 STANDING RULE (round-3 verdict item 1): any round that touches session.py or
 sources/ must re-window every timestamp-consuming query.
