@@ -47,9 +47,13 @@ tails, then multimodalq — unless its weakest-class status keeps deferring
 it behind changed code); (b) the streaming twins verdict item 7:
 streaming_user_stats / streaming_scd2_intervals rotated into the window now
 that the backlog clears; (c) new queries again, budgeted <= 15 per the
-round-3 rule. Already closed during round 5 (don't re-plan): the 3
-quadratic-oracle bridges, the pagerank 100x scale oracle, and the 23-query
-100x value-exact flagship set (BASELINE.md round-5 addenda).
+round-3 rule; (d) dedup_embedding_bucketed's frozen 4-bit band width —
+retune per the occupancy rule in operators/vector.py (measured 100x
+non-runner: ~10^9-10^10 verify pairs at 200k vectors, BASELINE.md round-5
+addendum 4) and re-window it, or add a width-scaled twin inside the
+new-query budget. Already closed during round 5 (don't re-plan): the 3
+quadratic-oracle bridges, the pagerank/minhash/simhash scale-form oracles,
+and the 100x value-exact flagship set (BASELINE.md round-5 addenda).
 
 STANDING RULE (round-3 verdict item 1): any round that touches session.py or
 sources/ must re-window every timestamp-consuming query.
