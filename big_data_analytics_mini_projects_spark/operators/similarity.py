@@ -266,7 +266,10 @@ def connected_components(
       planning long before data size matters;
     - convergence is detected via Σlabels (labels only decrease, so the sum
       strictly decreases until fixpoint) — one cheap agg instead of a
-      change-count join;
+      change-count join. The detector needs one extra NO-CHANGE round to
+      confirm the fixpoint, so the effective diameter bound is
+      ``max_iters - 1``: size ``max_iters`` at least one above the largest
+      propagation-round count you expect (round-5 ADVICE);
     - exhausting ``max_iters`` without reaching the fixpoint RAISES rather
       than returning silently-wrong labels (a component whose diameter
       exceeds the bound would keep several labels). For graphs where the
@@ -317,8 +320,9 @@ def connected_components(
     edges.unpersist()
     if not converged:
         raise RuntimeError(
-            f"connected_components did not reach its fixpoint in {max_iters} "
-            "rounds — the graph's diameter exceeds the bound. Use "
+            f"connected_components did not CONFIRM its fixpoint in {max_iters} "
+            f"rounds (the Σlabels detector spends one round confirming, so the "
+            f"effective diameter bound is {max_iters - 1}). Use "
             "connected_components_twophase (diameter-independent) or raise "
             "max_iters."
         )

@@ -132,13 +132,19 @@ def test_cf_predict_k50_plan_bounds_fanout(spark, sf_dir):
     (that absence is exactly its measured 18.1x densification at 10x)."""
     from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
 
-    def plan_of(name: str) -> str:
-        df = QUERIES[name].build(spark, sf_dir)
-        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "formatted"
-        )
-
+    import contextlib
+    import io
     import re
+
+    def plan_of(name: str) -> str:
+        # Public explain() captured from stdout (round-5 ADVICE: no JVM
+        # bridge internals) — 'formatted' mode includes the operator
+        # details with full windowspecdefinition expressions.
+        df = QUERIES[name].build(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
 
     # the cap's signature: row_number over (PARTITION BY item_a ORDER BY sim
     # DESC) — distinct from the ratings-dedupe windows, which partition on
@@ -150,10 +156,14 @@ def test_cf_predict_k50_plan_bounds_fanout(spark, sf_dir):
     capped = plan_of("cf_predict_ratings_k50")
     assert cap_window.search(capped), "per-target neighbor-cap window missing from k50 plan"
     assert cap_filter.search(capped), "k=50 cutoff filter missing from k50 plan"
-    # Spark 4 additionally pushes the rank filter into the window operator
-    # itself (WindowGroupLimit): each partition stops producing rows past
-    # rank 50 instead of materializing then filtering
-    assert "WindowGroupLimit" in capped
+    # Spark >= 3.5 additionally pushes the rank filter into the window
+    # operator itself (WindowGroupLimit): each partition stops producing
+    # rows past rank 50 instead of materializing then filtering. Version-
+    # gated (round-5 ADVICE) — the cap window + filter asserts above are
+    # the portable contract.
+    major, minor = (int(x) for x in spark.version.split(".")[:2])
+    if (major, minor) >= (3, 5):
+        assert "WindowGroupLimit" in capped
 
     uncapped = plan_of("cf_predict_ratings")
     assert not cap_window.search(uncapped), (

@@ -43,7 +43,7 @@ def test_scale_oracles_equal_primary_oracles(duck):
         b = duck.execute(spec.scale_oracle).df()
         a = a.sort_values(list(a.columns)).reset_index(drop=True)
         b = b.sort_values(list(b.columns)).reset_index(drop=True)
-        pd.testing.assert_frame_equal(a, b, check_exact=True), name
+        pd.testing.assert_frame_equal(a, b, check_exact=True, obj=name)
     assert checked >= 2  # dedup_minhash_lsh + dedup_apply_canonical
 
 

@@ -67,7 +67,11 @@ def _copy(con, sql: str, dst: str) -> None:
     tmp = dst + ".tmp"
     if os.path.exists(tmp):
         os.remove(tmp)
-    con.execute(sql.replace(f"TO '{dst}'", f"TO '{tmp}'"))
+    rewritten = sql.replace(f"TO '{dst}'", f"TO '{tmp}'")
+    # Round-5 ADVICE: the textual rewrite MUST have hit, else COPY would
+    # land straight at dst and the rename would defeat the atomicity.
+    assert rewritten != sql, f"COPY ... TO '{dst}' not found verbatim in SQL"
+    con.execute(rewritten)
     os.rename(tmp, dst)
 
 

@@ -55,6 +55,14 @@ TABLES = (
 #: docstring): applied to BOTH the engine DataFrame and the oracle at scale.
 #: Anchored on replica 0 (ids < 1e7 = make_sf1's replica offset), so at the
 #: base sf0.1 every predicate is a no-op.
+#: PUSHDOWN ASSUMPTION (round-5 ADVICE): the slice's linearization of
+#: dedup_embedding_cosine relies on DuckDB pushing `ka < 1e7` through the
+#: wrapped subquery's DISTINCT/join into pair generation. If a future
+#: DuckDB stops pushing it, the oracle still returns the correct sliced
+#: result but re-enumerates the full quadratic pair set first — watch the
+#: oracle wall time (it was ~11 s at 100x with pushdown; quadratic would
+#: be hours) and inline the predicate into the oracle's pair CTE if it
+#: regresses.
 SCALE_SLICE = {
     "dedup_embedding_cosine": "ka < 10000000",
 }
