@@ -234,6 +234,97 @@ def bucketed_near_pairs(
     )
 
 
+#: Occupancy-rule defaults for the self-tuning banded dedup below: target
+#: ~32 vectors per bucket; the width ladder covers corpora up to
+#: 32 * 2^14 ≈ 524k vectors (extend AUTO_MAX_BITS for larger corpora — a
+#: 10^9-vector corpus needs ~log2(1e9/32) = 25 bits).
+AUTO_OCCUPANCY = 32
+AUTO_MAX_BITS = 14
+
+
+def auto_band_bits(n_col, occupancy: int = AUTO_OCCUPANCY, max_bits: int = AUTO_MAX_BITS):
+    """Integer-exact occupancy-rule band width as a Column expression:
+
+        w(n) = 4 + #{k in [4, max_bits) : n > occupancy * 2^k}
+             = clamp(ceil(log2(n / occupancy)), 4, max_bits)
+
+    A comparison ladder, not floating log2, so both engines (this and the
+    DuckDB oracle's mirror, plans/round6q.py) compute the identical width
+    at every corpus size — no float-edge risk at exact powers of two."""
+    w = F.lit(4)
+    for k in range(4, max_bits):
+        w = w + (n_col > F.lit(occupancy << k)).cast("int")
+    return w
+
+
+def bucketed_near_pairs_auto(
+    vectors: DataFrame,
+    min_cos: float,
+    n_bands: int = N_BANDS,
+    max_bits: int = AUTO_MAX_BITS,
+    occupancy: int = AUTO_OCCUPANCY,
+    key: str = "vec_id",
+) -> DataFrame:
+    """:func:`bucketed_near_pairs` with the band width derived from the
+    corpus size by the operator's own occupancy rule — the round-5 verdict
+    fix for the fixed-width-LSH densification class (4-bit bands: 6.5 s at
+    2k vectors but 409 s at 20k and a >25-min kill at 200k; the per-bucket
+    occupancy grows linearly with the corpus at fixed width, so the verify
+    stage grows quadratically).
+
+    Width: each band computes its FULL ``max_bits``-bit SRP bucket (plane
+    stride ``max_bits``: band b, bit i uses hyperplane b*max_bits + i), then
+    masks to the low ``w = auto_band_bits(count)`` bits. The count is a
+    1-row aggregate broadcast onto the corpus (the allowlisted scalar-stats
+    cross-join shape), so the whole plan stays declarative: scan -> 1-row
+    agg -> broadcast -> explode n_bands keys -> ONE equi-join on
+    (band, bucket) -> exact-cosine verify -> cross-band distinct.
+
+    Measured widths on the test corpora (occupancy 32): 500 vecs -> 4 bits,
+    2k -> 6, 20k -> 10, 200k -> 13 — per-bucket verify work stays ~constant
+    (~occupancy^2/2 pairs) and shuffle-key cardinality (n_bands * 2^w)
+    grows with the corpus instead of collapsing onto 64 keys. Recall trades
+    against width exactly as the capture formula 1-(1-p^w)^n_bands says:
+    at cos 0.99 (p = 0.955) capture is 0.99 at w=4 and 0.95 at w=14 —
+    near-duplicate geometry keeps high recall at every corpus size, while
+    loose-threshold recall (cos ~ 0.35) intentionally falls with scale;
+    raise ``n_bands`` if loose thresholds matter."""
+    stats = vectors.agg(F.count(F.lit(1)).alias("n")).select(
+        auto_band_bits(F.col("n"), occupancy, max_bits).alias("w")
+    )
+    exprs = banded_bucket_exprs(n_bands, max_bits)
+    bb = F.array(
+        *[F.struct(F.lit(b).alias("band"), e.alias("full")) for b, e in enumerate(exprs)]
+    )
+    vb = (
+        vectors.crossJoin(F.broadcast(stats))
+        .select(F.col(key), "v", "norm", "w", F.explode(bb).alias("bb"))
+        .select(
+            key,
+            "v",
+            "norm",
+            F.col("bb.band").alias("band"),
+            F.expr("bb.full & (shiftleft(1L, w) - 1)").alias("bucket"),
+        )
+    )
+    a = vb.select(
+        "band", "bucket", F.col(key).alias("ka"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = vb.select(
+        "band", "bucket", F.col(key).alias("kb"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            "ka", "kb",
+            (F.expr(_dot("va", "vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+        .distinct()
+    )
+
+
 def cosine_topk_multiprobe(
     vectors: DataFrame,
     queries: DataFrame,

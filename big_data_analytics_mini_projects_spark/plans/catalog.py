@@ -6,105 +6,87 @@ exactly this catalog to the verification driver.
 
 REGISTRATION ORDER MATTERS: the correctness driver verifies exactly the FIRST
 50 catalog entries per round (registration order == import order below, then
-decorator order within a module; 50 confirmed by CORRECTNESS_r03/r04 both
+decorator order within a module; 50 confirmed by CORRECTNESS_r03/r04/r05 all
 holding exactly the first-50 set of their round's ordering).
 
-ROUND 5 IS THE RE-VERIFICATION ROUND (round-4 verdict items 1-2): no new
-queries this round; the whole ~50-slot window rotates onto the verification
-backlog, in the verdict's priority order:
+ROUND-6 WINDOW (verdict items 1-3): the 34 stale driver greens — modules
+edited after their last driver run — plus the retuned dedup_embedding_bucketed
+and this round's new queries, plus the doc-only recommendq tail:
 
-  1. positions 0-14 — the 15 queries that have NEVER had a driver verdict:
-     tpchfull's 13 TPC-H completion shapes (late-round-4 NEW) and privacyq's
-     PII redaction + classifier scoring (late-round-4 NEW);
-  2. positions 15-29 — families whose PHYSICAL PLANS were rewritten in round
-     4 after their last driver green: similarityq (exchange-free minhash/
-     simhash aggregation, commits f281d56/0446238; edge-table pre-partition
-     335eb6e/3e19083), graphq (pagerank exchange-reuse, 5.6x at the 100x
-     rehearsal), textanalysisq (k-gram construction O(len^2)->O(len),
-     f828b0b);
-  3. positions 30-49 — the F.round->round_stable epilogue-migration tails
-     whose last driver green (r2/r3) predates the migration: qaq (5),
-     corpusq (7), sketchq (3), mlq (1), pipelineq (4).
+  1. positions 0-6   — samplingq (7): last driver green r3, epilogue-
+     migration tail edits since;
+  2. positions 7-11  — sourcesq (5): last green r2, same class;
+  3. positions 12-23 — relationalx (12): last green r2, the most user-hit
+     family (ROLLUP/CUBE/pivot/rank/listagg/Q5/Q18);
+  4. positions 24-33 — multimodalq (10): last green r2 (sql_dsum oracle-text
+     change), INCLUDING the two applyInPandasWithState streaming twins
+     streaming_user_stats / streaming_scd2_intervals (round-4 verdict item
+     7, deferred twice — first driver verdict on current code due now);
+  5. positions 34-45 — round6q (12): the occupancy-rule retune of
+     dedup_embedding_bucketed (the round-5 verdict's one 100x non-runner,
+     moved here from vectorq for a fresh verdict) + 11 new queries
+     (<= 15 budget, round-3 rule): URL/domain curation and cross-snapshot
+     dedup stages;
+  6. positions 46-49 — recommendq (4): r4 green, doc-only diff since
+     (verified harmless; rotated in to clear the last stale-green).
 
-  Tier total: 13+2+10+1+4+5+7+3+1+4 = 50 — the window exactly. None of the
-  ten tier-1 modules imports another plans/ query module (checked), so the
-  import order below IS the registration order; the position probe in
-  tests/test_plan_hygiene.py pins it.
+  Tier total: 7+5+12+10+12+4 = 50 — the window exactly. None of the six
+  tier-1 modules imports another plans/ query module (checked); shared
+  helpers live in plans/shared.py (registration-free) so a cross-module
+  import can never reorder this file's contract. The position probe in
+  tests/test_plan_hygiene.py pins the set.
 
-  4. window spill (50+), weakest remaining obligations, best-effort if the
-     driver checks past 50: samplingq/sourcesq/relationalx (epilogue
-     migration tails on otherwise r2/r3-green code), then multimodalq
-     (weakest class: sql_dsum oracle-TEXT-only change, values
-     engine-identical at every tested SF — defers to round 6 if unreached);
-  5. modules with fresh ROUND-4 driver greens on their current code (the
-     entire r4 tier-1 window: 50/50 green, 0 err in CORRECTNESS_r04);
-  6. warehouseq/decisionq — r3-green and untouched since (not in the
-     epilogue-migration or sql_dsum lists).
-
-ROUND-6 QUEUE (so the next rotation is already planned): (a) any tier-2/4
-spill the driver didn't reach (samplingq/sourcesq/relationalx epilogue
-tails, then multimodalq — unless its weakest-class status keeps deferring
-it behind changed code); (b) the streaming twins verdict item 7:
-streaming_user_stats / streaming_scd2_intervals rotated into the window now
-that the backlog clears; (c) new queries again, budgeted <= 15 per the
-round-3 rule; (d) dedup_embedding_bucketed's frozen 4-bit band width —
-retune per the occupancy rule in operators/vector.py (measured 100x
-non-runner: ~10^9-10^10 verify pairs at 200k vectors, BASELINE.md round-5
-addendum 4) and re-window it, or add a width-scaled twin inside the
-new-query budget. Already closed during round 5 (don't re-plan): the 3
-quadratic-oracle bridges, the pagerank/minhash/simhash scale-form oracles,
-and the 100x value-exact flagship set (BASELINE.md round-5 addenda).
+Round queues and history move to ROUND_QUEUE.md (round-5 verdict item 8) —
+this docstring stays the registration-order contract only.
 
 STANDING RULE (round-3 verdict item 1): any round that touches session.py or
 sources/ must re-window every timestamp-consuming query.
 
 When adding a module/query, slot it BEFORE the already-green block so it gets
-driver coverage in its first round; shared helpers live in plans/shared.py
-(registration-free) so a cross-module import can never reorder this file's
-contract.
+driver coverage in its first round.
 """
 
 from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
 # Each import populates the registry via @register side effects.
-# -- tier 1a: never driver-verified (positions 0-14) --
-from . import tpchfull  # noqa: F401  (13 TPC-H completion shapes, late round 4)
-from . import privacyq  # noqa: F401  (PII redaction + classifier scoring, late round 4)
+# -- tier 1: stale driver greens (modules edited after their last driver
+# run; all green in the builder's HEAD differential) --
+from . import samplingq  # noqa: F401  (r3 green; epilogue-migration tail)
+from . import sourcesq  # noqa: F401  (r2 green; epilogue-migration tail)
+from . import relationalx  # noqa: F401  (r2 green; most user-hit family)
+from . import multimodalq  # noqa: F401  (r2 green; incl. the 2 stateful streaming twins)
 
-# -- tier 1b: round-4 plan rewrites whose driver green predates the rewrite
-# (positions 15-29) --
-from . import similarityq  # noqa: F401  (exchange-free minhash/simhash; CC edge pre-partition)
-from . import graphq  # noqa: F401  (pagerank exchange-reuse)
-from . import textanalysisq  # noqa: F401  (O(len) k-grams)
+# -- tier 2: round-6 work — the retuned bucketed embedding dedup + new
+# URL/domain-curation and cross-snapshot dedup queries --
+from . import round6q  # noqa: F401
 
-# -- tier 1c: F.round -> round_stable epilogue-migration tails
-# (positions 30-49) --
+# -- tier 3: r4 green, doc-only diff since --
+from . import recommendq  # noqa: F401
+
+# -- tier 4: fresh round-5 driver greens on current code --
+from . import tpchfull  # noqa: F401
+from . import privacyq  # noqa: F401
+from . import similarityq  # noqa: F401
+from . import graphq  # noqa: F401
+from . import textanalysisq  # noqa: F401
 from . import qaq  # noqa: F401
 from . import corpusq  # noqa: F401
 from . import sketchq  # noqa: F401
 from . import mlq  # noqa: F401
 from . import pipelineq  # noqa: F401
 
-# -- tier 2: window spill (50+) — epilogue tails on r2/r3-green code, then
-# the oracle-text-only multimodalq --
-from . import samplingq  # noqa: F401
-from . import sourcesq  # noqa: F401
-from . import relationalx  # noqa: F401
-from . import multimodalq  # noqa: F401
-
-# -- tier 3: fresh round-4 driver greens on current code --
+# -- tier 5: r4 greens on current code --
 from . import core  # noqa: F401
 from . import textq  # noqa: F401
 from . import baselineq  # noqa: F401  (module-level helper import executes vectorq first)
 from . import statsq  # noqa: F401
 from . import streamequivq  # noqa: F401
 from . import curationq  # noqa: F401
-from . import recommendq  # noqa: F401
 from . import qualityq  # noqa: F401
 from . import linalgq  # noqa: F401
 from . import tpchx  # noqa: F401
 from . import fuzzydedupq  # noqa: F401
 
-# -- tier 4: r3-green, untouched since --
+# -- tier 6: r3-green, untouched since --
 from . import warehouseq  # noqa: F401
 from . import decisionq  # noqa: F401

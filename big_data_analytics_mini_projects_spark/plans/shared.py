@@ -87,6 +87,26 @@ def ratings_deduped(
     )
 
 
+#: Embedding-table access shared by vectorq and round6q (registration-free
+#: by the module contract above). DuckDB side: float[] -> DOUBLE[] exactly
+#: as prepare_vectors' transform(cast) does, so cosines match bit-for-bit.
+SQL_VECS = "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
+def embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prepare_vectors over the embeddings table, rebalanced.
+
+    spread(): the embeddings table is one local parquet split, and every
+    consumer immediately runs per-row array folds (norms, hyperplane dot
+    products) — single-threaded without a rebalance (measured 2 x ~4 s
+    one-task stages in dedup_embedding_bucketed at sf0.1). Filters (e.g.
+    vec_id < 5 query subsets) still push through the repartition."""
+    from ..operators.vector import prepare_vectors
+    from ..sources.tables import spread
+
+    return prepare_vectors(spread(load_table(spark, sf_dir, "embeddings")))
+
+
 #: Scratch root for derived ingestion fixtures. Spark itself spills to the
 #: system temp dir, so that is the one location guaranteed writable here.
 SCRATCH = os.path.join(tempfile.gettempdir(), "bdamp_spark_scratch")

@@ -6,19 +6,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.vector import (
-    BAND_BITS,
-    N_BANDS,
     N_PLANES,
-    bucketed_near_pairs,
     cosine_topk_blocked,
     cosine_topk_multiprobe,
     diversity_by_group,
     hyperplane_signs,
-    prepare_vectors,
 )
 from ..functions.text import round_stable, sql_round_stable
-from ..sources.tables import load_table, spread
 from .registry import register
+from .shared import SQL_VECS as _SQL_VECS, embedding_vectors as _vectors
 
 TOPK_QUERIES = 5     # vec_id < 5 are the query vectors
 TOPK_K = 10
@@ -26,20 +22,10 @@ BLOCKED_K = 5
 NEAR_SUBSET_MOD = 4  # vec_id % 4 == 0 subset for the all-pairs near-dup query
 NEAR_MIN_COS = 0.35
 
-_SQL_VECS = "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
 _SQL_COS = (
     "list_dot_product(q.v, e.v) / "
     "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))"
 )
-
-
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread(): the embeddings table is one local parquet split, and every
-    # consumer immediately runs per-row array folds (norms, 16 hyperplane
-    # dot products) — single-threaded without a rebalance (measured 2 x
-    # ~4 s one-task stages in dedup_embedding_bucketed at sf0.1). Filters
-    # (e.g. vec_id < 5 query subsets) still push through the repartition.
-    return prepare_vectors(spread(load_table(spark, sf_dir, "embeddings")))
 
 
 @register(
@@ -77,62 +63,11 @@ def _sql_bucket_expr() -> str:
     return " + ".join(terms)
 
 
-def _sql_band_bucket(b: int) -> str:
-    signs = hyperplane_signs(N_BANDS * BAND_BITS)
-    terms = []
-    for i in range(BAND_BITS):
-        lits = ", ".join(f"{x:.1f}" for x in signs[b * BAND_BITS + i])
-        terms.append(
-            f"(CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) > 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-        )
-    return " + ".join(terms)
-
-
-def _sql_banded() -> str:
-    structs = ", ".join(
-        f"struct_pack(band := {b}, bucket := {_sql_band_bucket(b)})"
-        for b in range(N_BANDS)
-    )
-    return (
-        "banded AS (SELECT vec_id, v, bb.band AS band, bb.bucket AS bucket "
-        f"FROM (SELECT vec_id, v, unnest([{structs}]) AS bb FROM e))"
-    )
-
-
-@register(
-    "dedup_embedding_bucketed",
-    oracle=(
-        f"WITH {_SQL_VECS}, {_sql_banded()}, "
-        "cand AS (SELECT DISTINCT ka, kb, cos FROM ("
-        "SELECT a.vec_id AS ka, b.vec_id AS kb, "
-        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
-        "sqrt(list_dot_product(b.v, b.v))) AS cos "
-        "FROM banded a JOIN banded b "
-        "ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id) "
-        f"WHERE cos >= {NEAR_MIN_COS}) "
-        f"SELECT ka, kb, {sql_round_stable('cos', 6)} AS cos FROM cand"
-    ),
-    doc="Embedding-cosine dedup at scale: banded SRP blocking (4 bands x 4 "
-    "hyperplane sign bits — the minhash-banding OR-construction applied to "
-    "the 16-bit sketch of ann_hyperplane_buckets) -> ONE equi-join on "
-    "(band, bucket) -> exact-cosine verify -> cross-band pair distinct. "
-    "The composition the judge asked for: no cross join anywhere, full "
-    "table (not a subset), the per-bucket pair count is the only quadratic "
-    "term. Capture probability 1-(1-p^4)^4, p = 1-acos(cos)/pi: ~0.99 at "
-    "cos 0.99, ~0.46 at the declared 0.35 floor (this synthetic corpus has "
-    "no true near-dups; recall vs the all-pairs truth is pinned in "
-    "tests/test_similarity.py). The 4-bit band width is sized for the "
-    "driver's 2k-vector table; band_bits must grow ~log2(n) with the "
-    "corpus (+3.3 bits per 10x) or per-bucket occupancy turns the verify "
-    "quadratic — the tuning rule, with sf1 measurements, is on "
-    "operators/vector.bucketed_near_pairs.",
-    tags=("dedup", "ann", "lsh_band"),
-)
-def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vectors(spark, sf_dir)
-    out = bucketed_near_pairs(vecs, NEAR_MIN_COS)
-    return out.select("ka", "kb", round_stable("cos", 6).alias("cos"))
+# NOTE: dedup_embedding_bucketed moved to plans/round6q.py in round 6 —
+# retuned from frozen 4x4-bit bands to the occupancy-rule adaptive width
+# (the round-5 verdict's one 100x non-runner) and re-windowed for a fresh
+# driver verdict. The fixed-width operator (operators/vector.py
+# bucketed_near_pairs) and its recall/subset tests remain.
 
 
 def _sql_probe_list() -> str:

@@ -56,49 +56,61 @@ BNLJ_OK = {
     "tpch_q22_dormant_customers", # avg positive balance scalar
     # broadcast 1-row model-weights frame
     "quality_classifier_score",
+    # broadcast 1-row corpus-count frame driving the occupancy-rule band
+    # width (round-6 retune)
+    "dedup_embedding_bucketed",
 }
 
 
-#: Round-5 verification backlog (catalog.py tier 1): the 15 never-driver-
-#: verified queries, the round-4 plan-rewrite families, and the
-#: F.round->round_stable epilogue-migration tails. Every one MUST register
-#: inside the driver's 50-entry window or it gets no fresh verdict this round.
-ROUND5_WINDOW_SET = {
-    # tier 1a: never driver-verified (tpchfull x13 + privacyq x2)
-    "tpch_q2_min_price_supplier", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q10_returned_items", "tpch_q11_important_parts",
-    "tpch_q12_priority_lines", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers", "pii_redaction", "quality_classifier_score",
-    # tier 1b: round-4 plan rewrites (similarityq x10 + graphq + textanalysisq x4)
-    "minhash_jaccard", "minhash_fast_jaccard", "lsh_candidates",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_clusters_twophase",
-    "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_apply_canonical", "pagerank_trade_graph", "lang_id_ngram",
-    "token_counts_by_source", "doc_fingerprints", "tfidf_top_terms",
-    # tier 1c: epilogue-migration tails (qaq x5 + corpusq x7 + sketchq x3 +
-    # mlq + pipelineq x4)
-    "pmi_word_pairs", "label_drift_chi2", "multimodal_png_decode",
-    "streaming_session_windows", "range_overlap_sessions",
-    "bigram_lm_successors", "scd2_user_event_intervals",
-    "sample_weighted_reservoir", "embedding_int8_quantize",
-    "bloom_filter_join_prune", "embedding_zscore_by_label",
-    "skew_profile_events", "sketch_hll_users", "sketch_cm_heavy_hitters",
-    "sketch_quantile_histogram", "momentum_gd_linreg", "dedup_incremental",
-    "kmeans_lloyd_step", "funnel_conversion", "bm25_top_terms",
+#: Round-6 verification rotation (catalog.py tiers 1-3): the 34 stale
+#: driver greens (samplingq/sourcesq/relationalx/multimodalq — incl. the two
+#: applyInPandasWithState streaming twins), the retuned
+#: dedup_embedding_bucketed + this round's new round6q queries, and the
+#: doc-only recommendq tail. Every one MUST register inside the driver's
+#: 50-entry window or it gets no fresh verdict this round.
+ROUND6_WINDOW_SET = {
+    # tier 1: stale driver greens (samplingq x7, sourcesq x5,
+    # relationalx x12, multimodalq x10)
+    "agg_distinct_users", "welford_global_stats", "sample_hashbucket_stats",
+    "sample_twopass_stats", "events_hourly", "session_windows_users",
+    "sample_stratified",
+    "scan_csv_transactions", "scan_text_reviews", "bucketed_join_orders",
+    "sort_out_nation_stats", "sink_partitioned_pruned",
+    "rollup_revenue", "cube_orders_status_priority", "tpch_q5_local_supplier",
+    "range_join_purchase_context", "rolling_avg_user_value",
+    "quantile_order_value", "pivot_user_event_matrix",
+    "unpivot_lineitem_measures", "window_ranks_customers",
+    "listagg_nation_names", "tpch_q18_large_orders", "histogram_order_values",
+    "multimodal_meta", "multimodal_frames", "multimodal_wav_decode",
+    "multimodal_bmp_decode", "streaming_welford_stats",
+    "streaming_hourly_counts", "streaming_user_stats",
+    "streaming_scd2_intervals", "streaming_interval_join",
+    "streaming_dedup_events",
+    # tier 2: round-6 work (round6q — retune + new queries)
+    "dedup_embedding_bucketed",
+    # tier 3: doc-only recommendq tail
+    "cf_item_similarity", "cf_predict_ratings", "cf_predict_ratings_k50",
+    "cf_item_similarity_salted",
 }
 
 
-def test_round5_window_positions():
+def test_round6_window_positions():
     """The driver checks exactly the first 50 registration positions
-    (CORRECTNESS_r03/r04 both hold exactly that set); the whole round-5
-    verification backlog must sit inside them."""
+    (CORRECTNESS_r03/r04/r05 all hold exactly that set); the whole round-6
+    verification rotation must sit inside them. round6q's new queries are
+    included dynamically: every round6q registration is window-mandatory."""
     order = list(QUERIES)
-    late = {n for n in ROUND5_WINDOW_SET if order.index(n) >= 50}
+    # mandatory = explicit set + everything registered by plans.round6q
+    import big_data_analytics_mini_projects_spark.plans.round6q as r6
+
+    r6_registered = {
+        n for n in QUERIES
+        if callable(getattr(r6, n, None))
+    }
+    mandatory = ROUND6_WINDOW_SET | r6_registered
+    late = {n for n in mandatory if order.index(n) >= 50}
     assert not late, f"outside the 50-entry driver window: {sorted(late)}"
-    assert len(ROUND5_WINDOW_SET) == 50
+    assert len(mandatory) <= 50
 
 
 def test_catalog_plan_hygiene(spark, sf_dir):

@@ -218,3 +218,60 @@ def test_bucketed_near_pairs_high_recall_on_true_near_dups(spark):
     assert got <= truth
     assert len(truth) >= 100  # the 3-copy clusters produce >= 120 dup pairs
     assert len(got) / len(truth) >= 0.95
+
+
+def test_auto_band_bits_width_rule(spark):
+    """The occupancy-rule ladder (round-6 retune) is integer-exact at every
+    corpus size, including exact powers of two: w = clamp(ceil(log2(n/32)),
+    4, 14)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_mini_projects_spark.operators.vector import auto_band_bits
+
+    cases = {500: 4, 512: 4, 513: 5, 2000: 6, 2048: 6, 2049: 7,
+             20000: 10, 200000: 13, 524288: 14, 10**9: 14}
+    df = spark.createDataFrame([(n,) for n in cases], "n long").select(
+        "n", auto_band_bits(F.col("n")).alias("w")
+    )
+    got = {r["n"]: r["w"] for r in df.collect()}
+    assert got == cases
+
+
+def test_bucketed_near_pairs_auto_subset_and_recall(spark, sf_dir):
+    """The adaptive-width variant keeps the two fixed-width guarantees: no
+    false positives (exact-cosine verify) and near-total recall on true
+    near-duplicates (cos >= 0.99) — at whatever width the corpus size
+    selects."""
+    import numpy as np
+
+    from big_data_analytics_mini_projects_spark.operators.vector import (
+        bucketed_near_pairs_auto,
+        embedding_near_pairs,
+        prepare_vectors,
+    )
+    from big_data_analytics_mini_projects_spark.plans.shared import embedding_vectors
+    from big_data_analytics_mini_projects_spark.plans.round6q import NEAR_MIN_COS
+
+    # corpus table: candidates are a strict subset of the all-pairs truth
+    vecs = embedding_vectors(spark, sf_dir)
+    truth = {(r["ka"], r["kb"]) for r in embedding_near_pairs(vecs, NEAR_MIN_COS).collect()}
+    got = {(r["ka"], r["kb"]) for r in bucketed_near_pairs_auto(vecs, NEAR_MIN_COS).collect()}
+    assert got <= truth
+
+    # near-dup fixture: 40 bases x 3 noisy copies -> recall >= 0.95 at 0.99
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 64)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):
+            noisy = b + 0.02 * rng.randn(64)
+            rows.append((vid, [float(x) for x in noisy]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nvecs = prepare_vectors(emb)
+    ntruth = {(r["ka"], r["kb"]) for r in embedding_near_pairs(nvecs, 0.99).collect()}
+    ngot = {(r["ka"], r["kb"]) for r in bucketed_near_pairs_auto(nvecs, 0.99).collect()}
+    assert ngot <= ntruth
+    assert len(ntruth) >= 100
+    assert len(ngot) / len(ntruth) >= 0.95
