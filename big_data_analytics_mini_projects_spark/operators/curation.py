@@ -153,3 +153,35 @@ def pack_sequences(
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+#: URL canonicalization steps, applied in order (each a single RE2/Java-
+#: compatible regex so Spark and DuckDB agree byte-for-byte):
+#: scheme -> leading www. -> fragment -> query string -> trailing slashes.
+_URL_NORM_STEPS = (
+    ("^https?://", ""),
+    (r"^www\.", ""),
+    ("#.*$", ""),
+    (r"\?.*$", ""),
+    ("/+$", ""),
+)
+
+
+def normalize_url(col) -> "F.Column":
+    """Canonical URL form for URL-level dedup (the C4/RefinedWeb ingest
+    step): lowercase, strip scheme / leading www. / query string / fragment
+    / trailing slashes. Pure codegen'd regexp_replace chain — a map-only
+    stage, no shuffle, no Python; every regex means the same thing in Java
+    regex and RE2 (anchors + literal-class only)."""
+    out = F.lower(col if not isinstance(col, str) else F.col(col))
+    for pat, rep in _URL_NORM_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def sql_normalize_url(expr: str) -> str:
+    """DuckDB mirror of :func:`normalize_url` (same regexes, same order)."""
+    out = f"lower({expr})"
+    for pat, rep in _URL_NORM_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}')"
+    return out

@@ -207,3 +207,25 @@ def test_merge_snapshot_one_sided_keys(spark):
         2: (3, 50, 500),    # both -> counts add, min/max span
         3: (4, 10, 20),     # only in delta -> inserted
     }
+
+
+def test_normalize_url_canonical_forms(spark):
+    """URL canonicalization (round-6 curation stage): scheme, leading www.,
+    query string, fragment, trailing slashes, and case all collapse; path
+    structure and non-leading 'www' substrings survive."""
+    from big_data_analytics_mini_projects_spark.operators.curation import normalize_url
+
+    cases = [
+        ("https://www.Example.COM/A/B?q=1#frag", "example.com/a/b"),
+        ("http://example.com/a/b/", "example.com/a/b"),
+        ("example.com/a/b///", "example.com/a/b"),
+        ("https://example.com", "example.com"),
+        ("http://www.example.com/?utm=x", "example.com"),
+        ("https://sub.wwwhost.com/x", "sub.wwwhost.com/x"),  # non-leading www kept
+        ("https://example.com/path#a?b", "example.com/path"),  # frag stripped first
+    ]
+    df = spark.createDataFrame(cases, "url string, want string").select(
+        "want", normalize_url("url").alias("got")
+    )
+    for r in df.collect():
+        assert r["got"] == r["want"], (r["got"], r["want"])
