@@ -41,6 +41,25 @@ sigs AS (SELECT doc_id, seed, MIN({_SQL_H64}) AS mh
          FROM toks CROSS JOIN seeds GROUP BY doc_id, seed)
 """
 
+#: Scale form of _SQL_SIGS: the pair queries only ever look at doc_id <
+#: PAIR_DOC_LIMIT, and the engine side filters BEFORE building signatures —
+#: the outer WHERE in the driver-gate oracle relies on DuckDB pushing the
+#: group-key predicate through sigs' GROUP BY into the token expansion,
+#: which the 100x run showed it does NOT (the scatter ground for >15 min at
+#: 500k docs; nor does a filter directly above the unnest subquery push
+#: into it). This form inlines the subset filter into the tokenizer's FROM
+#: clause — the oracle becomes O(subset) by construction — and is pinned
+#: result-equal to the driver-gate form at driver SFs by
+#: tests/test_scale_tools.py.
+_SQL_DOCS_LIM = f"(SELECT * FROM documents WHERE doc_id < {PAIR_DOC_LIMIT})"
+
+_SQL_SIGS_LIM = f"""
+toks AS (SELECT DISTINCT doc_id, word FROM ({sql_tokens_ws(_SQL_DOCS_LIM)})),
+seeds AS (SELECT unnest(range({NUM_HASHES})) AS seed),
+sigs AS (SELECT doc_id, seed, MIN({_SQL_H64}) AS mh
+         FROM toks CROSS JOIN seeds GROUP BY doc_id, seed)
+"""
+
 #: Shingle-based signature CTE: minhash over word trigrams. Unigram token
 #: sets degenerate on small vocabularies (the 31-word synthetic corpus makes
 #: nearly every doc pair Jaccard~1 -> LSH emits all O(n²) pairs); trigram
@@ -117,6 +136,14 @@ def _shingles(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFr
         f"AND b.doc_id < {PAIR_DOC_LIMIT} "
         f"GROUP BY a.doc_id, b.doc_id"
     ),
+    scale_oracle=(
+        f"WITH {_SQL_SIGS_LIM} "
+        f"SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS n_sig, "
+        f"SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / {float(NUM_HASHES)} AS est "
+        f"FROM sigs a JOIN sigs b USING (seed) "
+        f"WHERE a.doc_id < b.doc_id "
+        f"GROUP BY a.doc_id, b.doc_id"
+    ),
     doc="MinHash signatures (32 seeded hash fns, no materialized permutations "
     "— Part_2.pdf p4) + pairwise Jaccard estimates over a doc subset "
     "(minhash_sig; E[agreement]=J, =0 exactly when J=0, Part_2.pdf p3).",
@@ -143,6 +170,20 @@ def minhash_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM sigs a JOIN sigs b USING (seed) "
         f"WHERE a.doc_id < b.doc_id AND a.doc_id < {PAIR_DOC_LIMIT} "
         f"AND b.doc_id < {PAIR_DOC_LIMIT} "
+        f"GROUP BY a.doc_id, b.doc_id"
+    ),
+    scale_oracle=(
+        "WITH toksall AS (SELECT DISTINCT doc_id, word FROM "
+        f"({sql_tokens_ws(_SQL_DOCS_LIM)})), "
+        "toks AS (SELECT * FROM toksall WHERE "
+        "(('0x' || substr(md5('rowsel:' || word), 1, 15))::BIGINT) % 2 < 1), "
+        f"seeds AS (SELECT unnest(range({NUM_HASHES})) AS seed), "
+        f"sigs AS (SELECT doc_id, seed, MIN({_SQL_H64}) AS mh "
+        "FROM toks CROSS JOIN seeds GROUP BY doc_id, seed) "
+        f"SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS n_sig, "
+        f"SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / {float(NUM_HASHES)} AS est "
+        f"FROM sigs a JOIN sigs b USING (seed) "
+        f"WHERE a.doc_id < b.doc_id "
         f"GROUP BY a.doc_id, b.doc_id"
     ),
     doc="Truncated minhash (first-m-rows speedup, Part_2.pdf p7 / MMDS 3.3.6): "
