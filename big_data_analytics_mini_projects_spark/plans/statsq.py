@@ -278,11 +278,34 @@ _SQL_SIMPLE_FIT = (
     "WHERE r IS NOT NULL AND NOT isnan(r) AND abs(r) < 1)"
 )
 
+#: MATERIALIZED-fitf twin for the p-value query's scale oracle (see its
+#: registration note). Assert the rewrite actually hit (make_sf1 ADVICE
+#: lesson: a silent no-op replace defeats the fix).
+_SQL_SIMPLE_FIT_MAT = _SQL_SIMPLE_FIT.replace(
+    "fitf AS (SELECT", "fitf AS MATERIALIZED (SELECT", 1
+)
+assert _SQL_SIMPLE_FIT_MAT != _SQL_SIMPLE_FIT
+
 
 @register(
     "ols_words_pvalues",
     oracle=(
         f"WITH RECURSIVE {_SQL_DENSE}, {_SQL_SIMPLE_FIT}, "
+        + sql_t_pvalue_cf_ctes("fitf", "t_stat", "n - 2", "word")
+        + f" SELECT word, n, {sql_round_stable('r')} AS beta, "
+        f"{sql_round_stable('t_stat')} AS t_stat, "
+        f"{sql_round_stable('p_value', 6)} AS p_value, "
+        f"{sql_round_stable(f'least(1.0, p_value * {TOP_K})', 6)} AS p_bonf "
+        "FROM fitf_p "
+        f"ORDER BY {sql_round_stable('r')} DESC, word ASC LIMIT 20"
+    ),
+    # Scale form: identical SQL except fitf is MATERIALIZED. Without the
+    # hint DuckDB re-evaluates the whole dense-CTE chain (15M rows at 100x)
+    # on every Lentz half-step of the recursive CF — >270 s at sf10 vs
+    # 6 s materialized; result-identical (tests/test_scale_tools.py pins
+    # equality at driver SFs).
+    scale_oracle=(
+        f"WITH RECURSIVE {_SQL_DENSE}, {_SQL_SIMPLE_FIT_MAT}, "
         + sql_t_pvalue_cf_ctes("fitf", "t_stat", "n - 2", "word")
         + f" SELECT word, n, {sql_round_stable('r')} AS beta, "
         f"{sql_round_stable('t_stat')} AS t_stat, "
