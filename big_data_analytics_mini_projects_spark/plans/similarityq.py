@@ -304,10 +304,21 @@ _SQL_CLUSTER_TAIL = (
 )
 
 
+#: Scale-form cluster tail: edges MATERIALIZED so the recursive closure
+#: reads a materialized edge table instead of re-evaluating the whole
+#: sigs -> bands -> scored chain on every closure step (the ols_words_
+#: pvalues lesson; measured ~5x on the 100x run). Asserted non-no-op per
+#: the make_sf1 ADVICE pattern.
+_SQL_CLUSTER_TAIL_MAT = _SQL_CLUSTER_TAIL.replace(
+    "edges AS (SELECT", "edges AS MATERIALIZED (SELECT", 1
+)
+assert _SQL_CLUSTER_TAIL_MAT != _SQL_CLUSTER_TAIL
+
+
 @register(
     "dedup_clusters",
     oracle=f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_CLUSTER_TAIL}",
-    scale_oracle=f"WITH RECURSIVE {_SQL_SH_SIGS_WIDE}, {_SQL_CLUSTER_TAIL}",
+    scale_oracle=f"WITH RECURSIVE {_SQL_SH_SIGS_WIDE}, {_SQL_CLUSTER_TAIL_MAT}",
     doc="Duplicate-cluster resolution: connected components over the scored "
     "near-dup pairs by iterative min-label propagation (one shuffle per "
     "round, lineage truncated per round); cluster = min doc_id = the keeper "
@@ -323,7 +334,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters_twophase",
     oracle=f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_CLUSTER_TAIL}",
-    scale_oracle=f"WITH RECURSIVE {_SQL_SH_SIGS_WIDE}, {_SQL_CLUSTER_TAIL}",
+    scale_oracle=f"WITH RECURSIVE {_SQL_SH_SIGS_WIDE}, {_SQL_CLUSTER_TAIL_MAT}",
     doc="dedup_clusters through the alternating large-star/small-star CC "
     "(Kiveris et al. 2014; operators/similarity.py "
     "connected_components_twophase): O(log^2 n) rounds independent of "
