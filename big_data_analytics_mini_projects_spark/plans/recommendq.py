@@ -86,18 +86,26 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.select("item_a", "item_b", "nc", round_stable("sim").alias("sim"))
 
 
-def _sql_predict(sims_cte: str) -> str:
+def _sql_predict(sims_cte: str, user_pred: str = "TRUE") -> str:
     """Prediction tail (mirrors operators/recommend.cf_predict with
-    quantize=4) reading similarities from ``sims_cte``."""
+    quantize=4) reading similarities from ``sims_cte``.
+
+    ``user_pred`` restricts the PREDICTION-side reads of rf (never the
+    similarity computation, which stays corpus-global): the scale forms
+    inline the replica-0 user anchor here because DuckDB does not push the
+    tool's outer slice through the COALESCE left join + group chain — it
+    materialized the full |ratings| x k candidate join and filled the 78 GB
+    temp volume (round-6 measurement). TRUE = the driver-gate full form."""
     return (
         f"sw AS (SELECT item_a AS target, item_b AS item, "
         f"CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS w FROM {sims_cte} "
         "WHERE CAST(floor(sim * 10000 + 0.5) AS BIGINT) > 0), "
         "ov AS (SELECT target, user_id, COUNT(*) AS n_ov, "
         "SUM(rating * w) AS num, SUM(w) AS den "
-        "FROM rf JOIN sw USING (item) GROUP BY target, user_id), "
+        f"FROM rf JOIN sw USING (item) WHERE {user_pred} "
+        "GROUP BY target, user_id), "
         "actual AS (SELECT item AS target, user_id, rating FROM rf "
-        "WHERE item IN (SELECT target FROM sw)) "
+        f"WHERE item IN (SELECT target FROM sw) AND {user_pred}) "
         # round(num/den, 4) in exact integer arithmetic — num and den are
         # exact integers, and rounding the double quotient is engine-
         # divergent within 1 ulp of a .00005 boundary (see cf_predict).
@@ -122,9 +130,19 @@ def _pred_sims(spark: SparkSession, sf_dir: str):
     )
 
 
+#: Replica-0 user anchor for the cf_predict scale forms — matches
+#: tools/sf1_differential.SCALE_SLICE (no-op at base SFs where user ids
+#: stay below make_sf1's 1e7 replica offset).
+_USER_ANCHOR = "user_id < 10000000"
+
+
 @register(
     "cf_predict_ratings",
     oracle=f"WITH {_SQL_FILTERED}, {_sql_sims(PRED_TARGETS)}, {_sql_predict('simsf')}",
+    scale_oracle=(
+        f"WITH {_SQL_FILTERED}, {_sql_sims(PRED_TARGETS)}, "
+        f"{_sql_predict('simsf', _USER_ANCHOR)}"
+    ),
     doc="REFERENCE-PARITY ONLY — pipelines should use cf_predict_ratings_k50. "
     "Weighted-average rating prediction for target items (cf_predict, "
     "a3_p2.py:52-65,76): actual rating passed through for users who rated "
@@ -153,6 +171,14 @@ NEIGHBOR_K = 50  # the spec's cap: Assignment 3 Description.htm:90 "Use 50 neigh
         "ORDER BY sim DESC, item_b ASC) AS rk FROM simsf) "
         f"WHERE rk <= {NEIGHBOR_K}), "
         + _sql_predict("simsk")
+    ),
+    scale_oracle=(
+        f"WITH {_SQL_FILTERED}, {_sql_sims(PRED_TARGETS)}, "
+        "simsk AS (SELECT item_a, item_b, nc, sim FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY item_a "
+        "ORDER BY sim DESC, item_b ASC) AS rk FROM simsf) "
+        f"WHERE rk <= {NEIGHBOR_K}), "
+        + _sql_predict("simsk", _USER_ANCHOR)
     ),
     doc="THE PIPELINE DEFAULT for rating prediction (round-4 verdict item "
     "4). cf_predict with the SPEC'd 50-neighbor cap (Assignment 3 "

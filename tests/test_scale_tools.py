@@ -48,9 +48,18 @@ def test_scale_oracles_equal_primary_oracles(duck):
 
 
 def test_scale_slice_queries_have_quadratic_primary_oracles():
-    """The slice bridge exists ONLY for queries whose primary oracle is
-    all-pairs by construction; anything else must run the full differential
-    at scale."""
+    """The slice bridge exists ONLY for queries whose primary oracle cannot
+    run whole at 100x on one box: all-pairs by construction
+    (dedup_embedding_cosine) or a candidate materialization past the
+    single-box disk budget (the cf_predict pair: |ratings| x k candidate
+    rows + the user x item group hash — 78 GB of DuckDB spill measured at
+    sf10f). Anything else must run the full differential at scale."""
+    allowed = {
+        "dedup_embedding_cosine",
+        "cf_predict_ratings_k50",
+        "cf_predict_ratings",
+    }
+    assert set(SCALE_SLICE) == allowed
     for name in SCALE_SLICE:
         assert name in QUERIES
         assert QUERIES[name].oracle is not None

@@ -65,6 +65,14 @@ TABLES = (
 #: regresses.
 SCALE_SLICE = {
     "dedup_embedding_cosine": "ka < 10000000",
+    # The cf_predict pair's oracles are LINEAR in the data (|ratings| x k
+    # candidate rows) but DuckDB materializes the candidate join + the
+    # user x item group hash whole: ~2.3B rows at 100x filled the 78 GB
+    # temp volume (measured round 6). The replica-0 user anchor keeps the
+    # engine AND oracle at 1/replicas of the candidate volume while the
+    # driver gate still pins the full result at base SFs.
+    "cf_predict_ratings_k50": "user_id < 10000000",
+    "cf_predict_ratings": "user_id < 10000000",
 }
 
 #: Flagship defaults: one per major family, linear-oracle only.
