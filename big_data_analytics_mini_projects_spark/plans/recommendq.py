@@ -24,6 +24,19 @@ u_ok AS (SELECT user_id FROM r1 GROUP BY user_id HAVING COUNT(*) >= 5),
 rf AS (SELECT r1.* FROM r1 JOIN u_ok USING (user_id))
 """
 
+#: Scale-form filtered-ratings chain: r (the 60M-row ratings dedup window)
+#: and rf (referenced 5x by the sims + prediction tail) pinned MATERIALIZED
+#: so DuckDB evaluates the dedup window once instead of inlining it per
+#: reference — the same re-evaluation class as the ols_words_pvalues /
+#: CC-edges fixes; the inlined form's concurrent window sorts overran the
+#: 78 GB temp volume at sf10f even with the prediction-side user anchor
+#: (round-6 measurement). Driver-gate oracles unchanged; result equality
+#: at driver SFs pinned by tests/test_scale_tools.py.
+_SQL_FILTERED_MAT = _SQL_FILTERED.replace(
+    "r AS (", "r AS MATERIALIZED (", 1
+).replace("rf AS (SELECT", "rf AS MATERIALIZED (SELECT", 1)
+assert _SQL_FILTERED_MAT.count("MATERIALIZED") == 2
+
 
 def _sql_sims(target_mod: int) -> str:
     return f"""
@@ -140,7 +153,7 @@ _USER_ANCHOR = "user_id < 10000000"
     "cf_predict_ratings",
     oracle=f"WITH {_SQL_FILTERED}, {_sql_sims(PRED_TARGETS)}, {_sql_predict('simsf')}",
     scale_oracle=(
-        f"WITH {_SQL_FILTERED}, {_sql_sims(PRED_TARGETS)}, "
+        f"WITH {_SQL_FILTERED_MAT}, {_sql_sims(PRED_TARGETS)}, "
         f"{_sql_predict('simsf', _USER_ANCHOR)}"
     ),
     doc="REFERENCE-PARITY ONLY — pipelines should use cf_predict_ratings_k50. "
@@ -173,7 +186,7 @@ NEIGHBOR_K = 50  # the spec's cap: Assignment 3 Description.htm:90 "Use 50 neigh
         + _sql_predict("simsk")
     ),
     scale_oracle=(
-        f"WITH {_SQL_FILTERED}, {_sql_sims(PRED_TARGETS)}, "
+        f"WITH {_SQL_FILTERED_MAT}, {_sql_sims(PRED_TARGETS)}, "
         "simsk AS (SELECT item_a, item_b, nc, sim FROM ("
         "SELECT *, row_number() OVER (PARTITION BY item_a "
         "ORDER BY sim DESC, item_b ASC) AS rk FROM simsf) "
