@@ -22,15 +22,17 @@ and this round's new queries, plus the doc-only recommendq tail:
      change), INCLUDING the two applyInPandasWithState streaming twins
      streaming_user_stats / streaming_scd2_intervals (round-4 verdict item
      7, deferred twice — first driver verdict on current code due now);
-  5. positions 34-45 — round6q (12): the occupancy-rule retune of
+  5. positions 34-44 — round6q (11): the occupancy-rule retune of
      dedup_embedding_bucketed (the round-5 verdict's one 100x non-runner,
-     moved here from vectorq for a fresh verdict) + 11 new queries
+     moved here from vectorq for a fresh verdict) + 10 new queries
      (<= 15 budget, round-3 rule): URL/domain curation and cross-snapshot
      dedup stages;
-  6. positions 46-49 — recommendq (4): r4 green, doc-only diff since
-     (verified harmless; rotated in to clear the last stale-green).
+  6. positions 45-48 — recommendq (4): r4 green, doc-only diff since
+     (verified harmless; rotated in to clear the last stale-green);
+  7. position 49 — tpch_q2_min_price_supplier (tpchfull spill: fresh r5
+     green, harmless re-verify).
 
-  Tier total: 7+5+12+10+12+4 = 50 — the window exactly. None of the six
+  Tier total: 7+5+12+10+11+4+1 = 50 — the window exactly. None of the six
   tier-1 modules imports another plans/ query module (checked); shared
   helpers live in plans/shared.py (registration-free) so a cross-module
   import can never reorder this file's contract. The position probe in
