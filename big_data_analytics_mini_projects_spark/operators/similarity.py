@@ -487,6 +487,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    min_containment: float = 0.9,
+    df_cap: int = 500,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Doc-in-doc containment pairs: C(A,B) = |A∩B| / min(|A|,|B|).
+
+    Jaccard misses the suffix/quotation case — a short doc fully embedded in
+    a long one scores |A|/|B|, far below any near-dup threshold — so corpus
+    dedup pipelines (SlimPajama-style containment pruning) need the
+    asymmetric measure. Candidate generation is the same df-capped inverted
+    shingle index as :func:`ngram_jaccard_pairs` (hot-shingle skew guard);
+    sizes use the uncapped distinct-shingle sets. Returns
+    (inner_doc, outer_doc, n_common, n_inner, containment) with the smaller
+    set as ``inner_doc`` (ka on size ties — ids already ordered ka < kb)."""
+    shingles = persist_tracked(shingles)
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keep = shingles.join(
+        freq.filter(F.col("df") <= df_cap).select("shingle"), "shingle"
+    )
+    sizes = shingles.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = keep.select(F.col(key).alias("ka"), "shingle")
+    b = keep.select(F.col(key).alias("kb"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(key).alias("ka"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(key).alias("kb"), F.col("n_sh").alias("nb"))
+    cont = F.col("n_common").cast("double") / F.least("na", "nb")
+    inner = F.when(F.col("na") <= F.col("nb"), F.col("ka")).otherwise(F.col("kb"))
+    outer = F.when(F.col("na") <= F.col("nb"), F.col("kb")).otherwise(F.col("ka"))
+    return (
+        common.join(sa, "ka")
+        .join(sb, "kb")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            inner.alias("inner_doc"),
+            outer.alias("outer_doc"),
+            "n_common",
+            F.least("na", "nb").alias("n_inner"),
+            "containment",
+        )
+    )
+
+
 def jaccard_prefix_pairs(
     shingles: DataFrame, tau_tenths: int = 3, key: str = "doc_id"
 ) -> DataFrame:

@@ -120,6 +120,87 @@ def cosine_topk_blocked(
     return _rank_topk(pairs, k)
 
 
+def ivf_cell_centroids(
+    vectors: DataFrame, cell_col: str = "label", vec_col: str = "v"
+) -> DataFrame:
+    """Decimal-exact per-cell centroid means: (cell, cv double[dim]).
+
+    posexplode -> (cell, pos) keyed aggregate (keys bounded by cells x dim,
+    map-side combine does the heavy lifting) -> re-assembled position-sorted
+    array. Component sums run in decimal so the means — and everything
+    derived from them — are bit-identical across engines and partition
+    orders (the same exactness discipline as diversity_by_group)."""
+    comp = vectors.select(cell_col, F.posexplode(vec_col).alias("pos", "x"))
+    cm = comp.groupBy(cell_col, "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return cm.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    cell_col: str = "label",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Multi-cell IVF search (nprobe > 1): each query ranks the coarse-cell
+    centroids by squared L2 distance and probes its ``nprobe`` nearest cells;
+    candidates are an equi-join on the cell id.
+
+    The probe-1 blocked search misses neighbors that fall just across a cell
+    boundary; probing the nprobe nearest cells recovers them at nprobe/cells
+    of brute-force cost — the standard IVF recall/cost dial (the other dial,
+    multiprobe SRP, is cosine_topk_multiprobe). Centroids are decimal-exact
+    (ivf_cell_centroids) and d2 uses the same three-dot-product expression in
+    both engines, so the probed cell sets — and hence the result — stay
+    oracle-checkable. Scale shape: centroid frame is cells x dim (broadcast),
+    the probe frame is |Q| x nprobe (broadcast), and the only corpus-sized
+    operation is the equi-join on the cell id."""
+    cents = ivf_cell_centroids(vectors, cell_col)
+    q = queries.select(
+        F.col(key).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    d2 = (
+        F.expr(_dot("qv", "qv"))
+        - 2 * F.expr(_dot("qv", "cv"))
+        + F.expr(_dot("cv", "cv"))
+    )
+    qc = q.join(F.broadcast(cents)).select(
+        "query_id", "qv", "qn", F.col(cell_col).alias("cell"), d2.alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    c = vectors.select(
+        F.col(key).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    pairs = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(_dot("qv", "cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    return _rank_topk(pairs, k)
+
+
 def embedding_near_pairs(
     vectors: DataFrame, min_cos: float, key: str = "vec_id"
 ) -> DataFrame:

@@ -92,3 +92,9 @@ from . import fuzzydedupq  # noqa: F401
 # -- tier 6: r3-green, untouched since --
 from . import warehouseq  # noqa: F401
 from . import decisionq  # noqa: F401
+
+# -- tail: round-6-authored queries for the ROUND-7 window (never driver-
+# verified yet — deliberately registered AFTER every green module so the
+# round-6 rotation window above is untouched; see plans/round7q.py and
+# ROUND_QUEUE.md) --
+from . import round7q  # noqa: F401

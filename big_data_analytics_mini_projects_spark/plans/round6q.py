@@ -30,7 +30,7 @@ from ..operators.vector import (
 )
 from ..sources.tables import load_table, spread
 from .registry import register
-from .shared import SQL_VECS, embedding_vectors
+from .shared import SQL_TOKEN_BUDGET, SQL_VECS, TOKEN_BUDGET, embedding_vectors
 
 NEAR_MIN_COS = 0.35  # same verify floor as the round-2..5 declaration
 
@@ -283,7 +283,6 @@ def split_train_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LEN_PCT_LO, LEN_PCT_HI = 0.05, 0.95
-TOKEN_BUDGET = 800  # per-domain token budget for the deterministic sampler
 BPE_TOPK = 20
 PPL_KEEP_MAX = 3.4  # keep docs whose bigram cross-entropy <= this (~corpus median)
 
@@ -322,16 +321,7 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_budget_sample",
-    oracle=(
-        "WITH t AS (SELECT source, doc_id, "
-        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok, "
-        f"{h64_sql('doc_id', 'tb')} AS h FROM documents), "
-        "c AS (SELECT source, doc_id, n_tok, "
-        "CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok "
-        "FROM t) "
-        f"SELECT source, doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= {TOKEN_BUDGET}"
-    ),
+    oracle=SQL_TOKEN_BUDGET,
     doc="Deterministic per-domain token-budget sampler (the corpus-mixing "
     "step that caps each source's token contribution): docs are ordered by "
     "a seeded hash (an arrival-order-free shuffle both engines replay "

@@ -15,8 +15,26 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.hashing import h64_sql
 from ..operators.relational import last_per_key
 from ..sources.tables import load_table
+
+#: Per-domain token budget for the deterministic hash-ordered sampler —
+#: shared by the batch query (plans/round6q.token_budget_sample) and its
+#: stateful streaming twin (plans/round7q.streaming_token_budget), which
+#: must agree bit-for-bit on the budget AND the oracle text.
+TOKEN_BUDGET = 800
+
+SQL_TOKEN_BUDGET = (
+    "WITH t AS (SELECT source, doc_id, "
+    "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok, "
+    f"{h64_sql('doc_id', 'tb')} AS h FROM documents), "
+    "c AS (SELECT source, doc_id, n_tok, "
+    "CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok "
+    "FROM t) "
+    f"SELECT source, doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= {TOKEN_BUDGET}"
+)
 
 #: Synthetic ratings derivation (FIXTURES.md §B): lineitem⋈orders gives
 #: (user=o_custkey, item=l_partkey, rating∈1..5, recency=l_shipdate).

@@ -288,3 +288,70 @@ def stream_scd2_intervals(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (schema pinned from a batch
+    read) — the corpus-as-a-stream source for the streaming curation twins."""
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_token_budget(docs: DataFrame, budget: int) -> DataFrame:
+    """Stateful streaming per-domain token-budget sampler
+    (applyInPandasWithState, append mode): the streaming twin of
+    plans/round6q.token_budget_sample.
+
+    Per source the state is ONE long — the cumulative token count over every
+    doc seen so far (accepted or not: the batch twin's window sums all docs
+    in hash order, so the kept set is the longest prefix whose running sum
+    fits the budget). Each micro-batch sorts its rows by the same seeded
+    (h, doc_id) key the batch twin orders by, extends the running sum, and
+    append-emits the docs that still fit. Over an availableNow run the whole
+    table arrives as one batch per key, so stream output == batch output
+    bit-for-bit; on a live stream the semantics are "hash-ordered within
+    each arrival window, budget carried across windows" — state stays one
+    counter per domain at any corpus size, and tokenization/hashing run
+    JVM-side before the Arrow hop (pandas only sorts and cumsums)."""
+    import pandas as pd  # local: Arrow path only materializes on executors
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.hashing import h64
+
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_tok"),
+        h64("doc_id", "tb").alias("h"),
+    )
+
+    def update(key, pdfs, state):
+        used = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
+        cum = used + pdf["n_tok"].cumsum()
+        keep = cum <= budget
+        state.update((int(used + pdf["n_tok"].sum()),))
+        yield pd.DataFrame(
+            {
+                "source": pdf.loc[keep, "source"].astype(str),
+                "doc_id": pdf.loc[keep, "doc_id"].astype("int64"),
+                "n_tok": pdf.loc[keep, "n_tok"].astype("int64"),
+                "cum_tok": cum[keep].astype("int64"),
+            }
+        )
+
+    return t.groupBy("source").applyInPandasWithState(
+        update,
+        "source string, doc_id long, n_tok long, cum_tok long",
+        "used long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

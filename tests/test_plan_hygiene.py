@@ -39,6 +39,7 @@ BNLJ_OK = {
     "label_drift_chi2",     # contingency grand-total scalar
     "funnel_conversion",    # three stage-count scalars
     "kmeans_lloyd_step",    # K=8 centroid frame
+    "ann_ivf_nprobe",       # |Q| x 10-cell centroid frame (broadcast-bounded)
     "ols_simple_words",     # dense docs x top-K word frame (broadcast-bounded)
     "ols_simple_words_zero_rows",
     "ols_multi_words",
