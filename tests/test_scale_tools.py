@@ -47,6 +47,61 @@ def test_scale_oracles_equal_primary_oracles(duck):
     assert checked >= 2  # dedup_minhash_lsh + dedup_apply_canonical
 
 
+def test_embedding_transform_is_a_distinct_isometry_per_replica():
+    """The scaled-embeddings construction (tools/make_sf1.embedding_transform_expr)
+    must be an ISOMETRY within each replica (norms + pairwise dots exactly
+    preserved, so every within-replica cosine relation of the base corpus
+    survives) and a DISTINCT transform per replica for rep < dim*dim.
+    Round-6 regression pin: the original pure rotation clamped to the
+    identity for rep >= dim, making replicas 64..99 of the 100x build
+    verbatim clones of replica 0."""
+    import duckdb
+
+    from tools.make_sf1 import embedding_transform_expr
+
+    dim = 8
+    expr = embedding_transform_expr(dim, rep="r.rep", col="e.embedding")
+    con = duckdb.connect()
+    # Two probe vectors with a known dot product, replicated across every
+    # rep in [0, dim*dim) — past both the rotation period and the old bug's
+    # rep >= dim clamp point.
+    con.execute(
+        f"""
+        CREATE VIEW t AS
+        SELECT r.rep, {expr.replace('e.embedding', 'e.a')} AS ta,
+                      {expr.replace('e.embedding', 'e.b')} AS tb
+        FROM (SELECT [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0] AS a,
+                     [8.0, -7.0, 6.0, -5.0, 4.0, -3.0, 2.0, -1.0] AS b) e
+        CROSS JOIN (SELECT unnest(range({dim * dim})) AS rep) r
+        """
+    )
+    rows = con.execute(
+        """
+        SELECT rep,
+               list_aggregate(list_transform(ta, x -> x*x), 'sum') AS na,
+               list_aggregate(list_transform(tb, x -> x*x), 'sum') AS nb,
+               list_aggregate(list_transform(range(1, len(ta) + 1),
+                                             i -> ta[i] * tb[i]), 'sum') AS dot,
+               ta
+        FROM t ORDER BY rep
+        """
+    ).fetchall()
+    base_na = sum(x * x for x in [1, 2, 3, 4, 5, 6, 7, 8])
+    base_nb = sum(x * x for x in [8, -7, 6, -5, 4, -3, 2, -1])
+    base_dot = sum(
+        x * y
+        for x, y in zip([1, 2, 3, 4, 5, 6, 7, 8], [8, -7, 6, -5, 4, -3, 2, -1])
+    )
+    seen = set()
+    for rep, na, nb, dot, ta in rows:
+        assert len(ta) == dim, f"rep {rep}: transform changed the dimension"
+        assert na == base_na and nb == base_nb, f"rep {rep}: norm not preserved"
+        assert dot == base_dot, f"rep {rep}: pairwise dot not preserved"
+        key = tuple(ta)
+        assert key not in seen, f"rep {rep}: transform repeats an earlier replica"
+        seen.add(key)
+
+
 def test_scale_slice_queries_have_quadratic_primary_oracles():
     """The slice bridge exists ONLY for queries whose primary oracle cannot
     run whole at 100x on one box: all-pairs by construction

@@ -46,14 +46,35 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 #: BDAMP_SCALE_REPLICAS / BDAMP_SCALE_NAME extend the same construction to
-#: further decades (e.g. REPLICAS=100 NAME=sf10 -> a 100x dataset): the
-#: replica offsets (doc_id + r*1e7, l_orderkey + r*1e8, user_id + r*1e7)
-#: stay collision-free up to r=99. BDAMP_SCALE_SKIP_F=1 skips the
-#: full-fact orders twin.
+#: further decades (e.g. REPLICAS=100 NAME=sf10 -> a 100x dataset, or
+#: REPLICAS=1000 NAME=sf100 -> 1000x): the replica offsets (doc_id + r*1e7,
+#: l_orderkey + r*1e8, user_id + r*1e7) are collision-free for any r the
+#: driver data's id ranges allow (base ids are < 2e5, so thousands of
+#: replicas fit); the embeddings orthogonal-transform family bounds
+#: REPLICAS at dim*dim = 4096 (asserted below). BDAMP_SCALE_SKIP_F=1 skips
+#: the full-fact orders twin.
 _NAME = os.environ.get("BDAMP_SCALE_NAME", "sf1")
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", _NAME)
 DSTF = os.path.join(os.path.dirname(DST), _NAME + "f")
 REPLICAS = int(os.environ.get("BDAMP_SCALE_REPLICAS", "10"))
+
+
+def embedding_transform_expr(dim: int, rep: str = "r.rep", col: str = "e.embedding") -> str:
+    """DuckDB SQL expression applying replica ``rep``'s orthogonal transform
+    to vector column ``col``: rotate components by (rep % dim), then negate
+    the first (rep // dim) of the rotated components. Both factors are
+    orthogonal, so every within-replica norm and pairwise dot product is
+    exactly preserved; the (rotation, sign-prefix) pairs are pairwise
+    distinct for rep < dim*dim. Factored out so tests can pin the
+    transform's isometry and distinctness directly (round-6 fix: the
+    original pure rotation clamped to the identity for rep >= dim)."""
+    return f"""CASE WHEN {rep} = 0 THEN {col}
+                      ELSE list_transform(
+                             list_concat({col}[({rep} % {dim}) + 1:],
+                                         {col}[1:({rep} % {dim})]),
+                             (x, i) -> CASE WHEN i <= ({rep} // {dim})
+                                            THEN -x ELSE x END)
+                 END"""
 
 
 def _copy(con, sql: str, dst: str) -> None:
@@ -113,21 +134,34 @@ def main() -> None:
         f"{DST}/lineitem.parquet",
     )
 
-    # embeddings x10: replica r rotates each vector's components by r
-    # positions — an orthogonal transform, so every within-replica pairwise
-    # cosine (and every norm) is exactly preserved: each replica carries
-    # sf0.1's similarity structure, replicas are mutually ~random. That is a
-    # constant-near-dup-rate 10x vector corpus, the analogue of the
-    # token-suffix trick for documents.
+    # embeddings xN: replica r applies an orthogonal transform — rotate the
+    # components by (r % dim) positions, then negate the first (r // dim)
+    # components (a fixed diagonal +-1 matrix D: (Dx)·(Dy) = x·D²y = x·y) —
+    # so every within-replica pairwise cosine (and every norm) is exactly
+    # preserved: each replica carries sf0.1's similarity structure, replicas
+    # are mutually distinct. That is a constant-near-dup-rate scaled vector
+    # corpus, the analogue of the token-suffix trick for documents.
+    #
+    # Round-6 fix: the original pure rotation `embedding[rep+1:]` silently
+    # CLAMPS for rep >= dim (DuckDB slice semantics), so replicas 64..99 of
+    # the 100x build were verbatim clones of replica 0 — a 37-fold
+    # exact-duplicate group instead of the constant-dup-rate shape (the
+    # embedding-dedup queries passed value-exact on that HARDER workload;
+    # conservative, but the shape claim was wrong). The (rotation, sign)
+    # composition gives dim*dim distinct transforms (4096 at dim=64).
+    dim = con.execute(
+        f"SELECT min(len(embedding)) FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert REPLICAS <= dim * dim, (
+        f"only {dim * dim} distinct (rotation, sign-prefix) transforms at "
+        f"dim={dim}; REPLICAS={REPLICAS} would repeat transforms"
+    )
     _copy(
         con,
         f"""
         COPY (
           SELECT e.vec_id + r.rep * 10000000 AS vec_id,
-                 CASE WHEN r.rep = 0 THEN e.embedding
-                      ELSE list_concat(e.embedding[r.rep + 1:],
-                                       e.embedding[1:r.rep])
-                 END AS embedding,
+                 {embedding_transform_expr(dim)} AS embedding,
                  e.label
           FROM read_parquet('{SRC}/embeddings.parquet') e CROSS JOIN r
           ORDER BY vec_id
