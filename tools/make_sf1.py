@@ -99,6 +99,13 @@ def _copy(con, sql: str, dst: str) -> None:
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    # Without this, COPY materializes the whole replicated result to keep
+    # input order (measured: the 1000x lineitem cross join climbed past
+    # 100 GB RSS before writing a byte). No consumer depends on row order
+    # inside the parquet files — both engines treat them as relations — so
+    # trade file-level row-order reproducibility for streaming writes.
+    # Logical content stays fully deterministic.
+    con.execute("SET preserve_insertion_order=false")
     con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS rep")
 
     _copy(
