@@ -69,10 +69,16 @@ def main() -> None:
         # side of the ratio summary (round-4 ADVICE)
         sys.exit("--scaled-dir basename must not be 'sf0.1' (baseline label)")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # The knob a real cluster turns as data grows: shuffle partition count.
+    # Default couples to cpus (the sf1/sf10 ledger runs); at sf100 (1000x)
+    # 32 partitions put ~600 MB of shuffle read in one task, so the ledger
+    # runs pass 128 here — the spark.sql.files.maxPartitionBytes-style
+    # sizing rule BASELINE.md documents, demonstrated rather than argued.
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)))
     builder = (
         SparkSession.builder.appName("bdamp-scale-rehearsal")
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4040")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -133,6 +139,15 @@ def main() -> None:
             results.append(rec)
             print(json.dumps(rec), flush=True)
             spark.catalog.clearCache()
+            # Single-box disk bound: a warm + timed pass over the heavy
+            # queries accumulates O(100 GB) of shuffle files at 1000x if
+            # left to lazy cleanup. Dropping the DataFrame references above
+            # makes the shuffle dependencies collectable; an explicit JVM
+            # GC lets ContextCleaner delete their files before the next
+            # query runs. (Cluster deployments don't need this — shuffle
+            # files live on executor-local disks sized for the job.)
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
 
     # scaling summary: sf1/sf0.1 ratios per query
     by = {(r["query"], r["sf"]): r for r in results}
