@@ -91,15 +91,34 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
-    line = json.dumps(out)
-    print(line)
-    # Mirror to a file: round 1's driver tail-capture clipped the head of the
-    # stdout line (losing "value"); the file copy makes the total unlosable.
+    # Full per-query detail goes to a file: the driver keeps only the LAST
+    # 2000 chars of stdout, so a 150-query JSON line is truncated mid-line
+    # and never parses (BENCH_r01..r05 all recorded parsed=null).
     try:
         with open(os.path.join(_REPO_DIR, "bench_out.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(out) + "\n")
     except OSError as e:
         print(f"BENCH WARN could not write bench_out.json: {e}", file=sys.stderr)
+    # The printed line must fit the 2000-char tail window whole: keep the
+    # headline aggregates plus as many of the SLOWEST queries as fit.
+    compact = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": out["sf"],
+        "repeats": repeats,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "full_detail": "bench_out.json",
+    }
+    budget = 1900
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        compact["queries"][name] = sec
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact))
     spark.stop()
 
 
