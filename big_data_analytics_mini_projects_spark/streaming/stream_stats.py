@@ -355,3 +355,69 @@ def stream_token_budget(docs: DataFrame, budget: int) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_domain_drift(docs: DataFrame) -> DataFrame:
+    """Stateful streaming per-domain language-drift monitor
+    (applyInPandasWithState, append mode): the streaming twin of
+    plans/round7q.domain_lang_drift.
+
+    Per source the state is the per-language count vector of the two seeded
+    snapshot halves, carried as a sorted-keys JSON string ``{lang: [ca, cb]}``
+    — O(languages) per domain, independent of corpus size. Each micro-batch
+    folds its rows into the state and append-emits ONE refreshed monitor row
+    per touched domain: the exact integer-arithmetic total-variation distance
+    sum|ca*nb - cb*na| / (2*n_a*n_b) the batch twin computes (one double
+    division + the shared half-up rounding at the end, so accumulation order
+    cannot perturb the value). Over an availableNow run the whole table
+    arrives as one batch per key, so stream output == the batch query
+    bit-for-bit; on a live stream each batch appends the updated drift row —
+    a per-domain drift TIME SERIES, which is the alerting shape a
+    continuously-ingesting crawl pipeline actually wants. Hashing runs
+    JVM-side before the Arrow hop (pandas only counts and folds)."""
+    import json
+    import math
+
+    import pandas as pd  # local: Arrow path only materializes on executors
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.hashing import h64
+
+    t = docs.select(
+        "source", "lang", (h64("doc_id", "snap") % 2).alias("b")
+    )
+
+    def update(key, pdfs, state):
+        counts: dict[str, list[int]] = (
+            json.loads(state.get[0]) if state.exists else {}
+        )
+        for pdf in pdfs:
+            g = pdf.groupby(["lang", "b"]).size()
+            for (lang, b), c in g.items():
+                cell = counts.setdefault(str(lang), [0, 0])
+                cell[int(b)] += int(c)
+        state.update((json.dumps(counts, sort_keys=True),))
+        n_a = sum(v[0] for v in counts.values())
+        n_b = sum(v[1] for v in counts.values())
+        if n_a == 0 or n_b == 0:
+            return  # batch twin filters these out; emit nothing this batch
+        num = sum(abs(v[0] * n_b - v[1] * n_a) for v in counts.values())
+        tvd = num / (2.0 * n_a * n_b)  # same op order as the batch twin
+        tvd = math.floor(tvd * 10000 + 0.5) / 10000  # round_stable(4)
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_a": [n_a],
+                "n_b": [n_b],
+                "n_langs": [len(counts)],
+                "tvd": [tvd],
+            }
+        )
+
+    return t.groupBy("source").applyInPandasWithState(
+        update,
+        "source string, n_a long, n_b long, n_langs long, tvd double",
+        "counts string",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

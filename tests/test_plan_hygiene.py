@@ -35,6 +35,7 @@ BNLJ_OK = {
     # 1-row corpus-stats / bounded-K broadcast cross joins:
     "tfidf_top_terms",      # n_docs scalar
     "bm25_top_terms",       # (n_docs, avgdl) scalar
+    "bm25f_title_body",     # (n_docs, avg_t, avg_b) scalar
     "pmi_word_pairs",       # total-pair-count scalar
     "label_drift_chi2",     # contingency grand-total scalar
     "funnel_conversion",    # three stage-count scalars

@@ -181,3 +181,220 @@ def test_stream_token_budget_carries_state_across_microbatches(
         # cumulative count is at least the accepted-token total (rejected
         # docs may additionally have consumed budget in earlier batches)
         assert tok <= mx, source
+
+
+# -- round-7 budget batch (built in round 6; see round7q module docstring) --
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_col_short_doc_guard(spark):
+    from big_data_analytics_mini_projects_spark.plans.round7q import ES_K, span_col
+
+    df = spark.createDataFrame(
+        [
+            (0, []),                                # empty
+            (1, [f"t{i}" for i in range(ES_K - 1)]),  # one short of a span
+            (2, [f"t{i}" for i in range(ES_K)]),      # exactly one span
+            (3, [f"t{i}" for i in range(ES_K + 2)]),  # three spans
+        ],
+        "doc_id long, toks array<string>",
+    )
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in df.select("doc_id", span_col("toks").alias("spans")).collect()
+    }
+    assert got[0] == [] and got[1] == []
+    assert len(got[2]) == 1 and got[2][0].count(" ") == ES_K - 1
+    assert len(got[3]) == 3 and got[3][2].startswith("t2 ")
+
+
+def test_exact_substring_islands_and_distinct_doc_rule(spark):
+    """Two disjoint shared runs -> 2 islands with exact coverage; a span
+    repeated only WITHIN one doc does not count (distinct-doc rule); docs
+    with no cross-doc span are absent."""
+    from big_data_analytics_mini_projects_spark.plans.round7q import (
+        ES_K,
+        exact_substring_stats,
+    )
+
+    run_s = " ".join(f"s{i}" for i in range(ES_K))        # 12-token shared run S
+    run_t = " ".join(f"t{i}" for i in range(ES_K))        # 12-token shared run T
+    fill = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = _docs_df(
+        spark,
+        [
+            # doc 0: S ... filler ... T -> two disjoint islands of ES_K each
+            (0, f"{run_s} {fill('a', 20)} {run_t}"),
+            # doc 1: shares S and T at different offsets
+            (1, f"{fill('b', 5)} {run_s} {fill('c', 7)} {run_t} {fill('d', 3)}"),
+            # doc 2: internal repetition only -> excluded
+            (2, f"{run_s.replace('s', 'z')} {run_s.replace('s', 'z')}"),
+            # doc 3: nothing shared -> absent
+            (3, fill("e", 40)),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_islands"])
+        for r in exact_substring_stats(docs).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0] == (20 + 2 * ES_K, 2 * ES_K, 2)
+    assert out[1] == (15 + 2 * ES_K, 2 * ES_K, 2)
+
+
+def test_exact_substring_overlapping_runs_merge_into_one_island(spark):
+    """A shared run longer than ES_K marks every start position; the
+    positions overlap, so island merging must report ONE island covering
+    run-length tokens (not n_spans * ES_K)."""
+    from big_data_analytics_mini_projects_spark.plans.round7q import (
+        ES_K,
+        exact_substring_stats,
+    )
+
+    long_run = " ".join(f"s{i}" for i in range(ES_K + 5))  # 17 shared tokens
+    docs = _docs_df(
+        spark,
+        [
+            (0, f"{long_run} x0 x1 x2"),
+            (1, f"y0 y1 {long_run}"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["dup_tokens"], r["n_islands"])
+        for r in exact_substring_stats(docs).collect()
+    }
+    assert out[0] == (ES_K + 5, 1)
+    assert out[1] == (ES_K + 5, 1)
+
+
+def test_crawl_freshness_acceptance_matches_pure_python(spark, sf_dir):
+    """Golden re-derivation: n_docs / n_kept / kept_tokens / fresh_token_mass
+    recomputed per (source, age) in pure Python from h64_py must equal the
+    engine output exactly (the mass via Fraction — the dsum is exact)."""
+    from fractions import Fraction
+
+    from big_data_analytics_mini_projects_spark.functions.hashing import h64_py
+    from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    exp = {}
+    for r in docs:
+        age = h64_py(r["doc_id"], "age") % 8
+        kept = h64_py(r["doc_id"], "fr") % (1 << age) == 0
+        n_tok = len([t for t in r["text"].lower().split(" ") if t])
+        k = (r["source"], age)
+        e = exp.setdefault(k, [0, 0, 0, Fraction(0)])
+        e[0] += 1
+        e[1] += int(kept)
+        e[2] += n_tok if kept else 0
+        e[3] += Fraction(n_tok, 1 << age)
+    got = QUERIES["crawl_freshness_sample"].build(spark, sf_dir).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        e = exp[(r["source"], r["age"])]
+        assert (r["n_docs"], r["n_kept"], r["kept_tokens"]) == tuple(e[:3])
+        assert Fraction(r["fresh_token_mass"]).limit_denominator(10**7) == e[3]
+
+
+def test_bm25f_title_occurrence_outweighs_body(spark):
+    """Same term, same doc lengths: one title occurrence must outscore one
+    body occurrence (w_t=2 vs w_b=1 with identical per-field lengths)."""
+    from big_data_analytics_mini_projects_spark.plans.round7q import bm25f_scores
+
+    # both docs: 8-token title + 8-token body, 'apple' once, all else unique
+    docs = _docs_df(
+        spark,
+        [
+            (0, "apple a1 a2 a3 a4 a5 a6 a7 b0 b1 b2 b3 b4 b5 b6 b7"),
+            (1, "c0 c1 c2 c3 c4 c5 c6 c7 apple d1 d2 d3 d4 d5 d6 d7"),
+            # third doc WITHOUT the term: smoothed idf ln((N+1)/(df+1)) is 0
+            # when df == N, which would zero both scores under test
+            (2, "e0 e1 e2 e3 e4 e5 e6 e7 f0 f1 f2 f3 f4 f5 f6 f7"),
+        ],
+    )
+    rows = bm25f_scores(docs, top_n=99).filter(F.col("word") == "apple").collect()
+    score = {r["doc_id"]: r["bm25f"] for r in rows}
+    tf = {r["doc_id"]: (r["tf_t"], r["tf_b"]) for r in rows}
+    assert tf[0] == (1, 0) and tf[1] == (0, 1)
+    assert score[0] > score[1]
+
+
+def test_bm25f_top5_and_short_doc_fields(spark, sf_dir):
+    """Full-table run: at most 5 terms per doc, and a doc shorter than the
+    title width has len_b = 0 handled (no NaN/inf scores)."""
+    import math
+
+    from big_data_analytics_mini_projects_spark.plans.round7q import bm25f_scores
+
+    short = _docs_df(spark, [(0, "only three words"), (1, "x y")])
+    for r in bm25f_scores(short).collect():
+        assert math.isfinite(r["bm25f"])
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = (
+        bm25f_scores(docs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert counts <= 5
+
+
+def test_stream_domain_drift_carries_state_across_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """Split documents into 3 files (maxFilesPerTrigger=1 -> 3 micro-batches):
+    append mode emits a drift row per touched domain per batch, and the FINAL
+    row per domain (max n_a + n_b) must equal the batch twin exactly."""
+    import uuid
+
+    from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+    from big_data_analytics_mini_projects_spark.streaming.stream_stats import (
+        stream_domain_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_split_drift")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"dd_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_domain_drift(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).collect()
+    finals = {}
+    for r in out:
+        cur = finals.get(r["source"])
+        if cur is None or r["n_a"] + r["n_b"] > cur["n_a"] + cur["n_b"]:
+            finals[r["source"]] = r
+    batch = {
+        r["source"]: r
+        for r in QUERIES["domain_lang_drift"].build(spark, sf_dir).collect()
+    }
+    assert set(finals) == set(batch)
+    n_multi = 0
+    for s, r in finals.items():
+        b = batch[s]
+        assert (r["n_a"], r["n_b"], r["n_langs"], r["tvd"]) == (
+            b["n_a"], b["n_b"], b["n_langs"], b["tvd"]
+        ), s
+        n_multi += sum(1 for x in out if x["source"] == s) > 1
+    # the split must actually have exercised cross-batch accumulation
+    assert n_multi > 0
