@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import h64, h64_sql
 from ..functions.text import round_stable, sql_round_stable
-from ..operators.aggregates import sql_dsum
+from ..operators.aggregates import dsum, sql_dsum
 from ..operators.similarity import containment_pairs, ngram_shingles
 from ..operators.vector import cosine_topk_ivf
 from ..sources.tables import load_table, spread
@@ -414,8 +414,10 @@ cov AS (SELECT doc_id, n_tokens, island, MAX(pos) - MIN(pos) + {ES_K} AS covered
     "positions as duplicated, and per doc the marked [pos, pos+11] "
     "intervals are merged into maximal islands by the classic "
     "gaps-and-islands running-max window — emitting per-doc duplicated-"
-    "token counts exactly as a suffix-array pass over the concatenated "
-    "corpus would for matches of length >= K, at any alignment. Scale: the "
+    "token counts matching a suffix-array pass over the concatenated "
+    "corpus for CROSS-DOCUMENT matches of length >= K, at any alignment "
+    "(within-document repeats are deliberately excluded by the distinct-"
+    "doc rule — a doc is not a duplicate of itself; pinned in tests). Scale: the "
     "span stream is one row per token position (corpus-linear); the "
     "duplicate-span frequency group keys on a uniform 60-bit hash (no "
     "skew); the dup-set join back is duplicate-vocabulary-scale (unhinted "
@@ -514,8 +516,6 @@ CRAWL_AGES = 8   # seeded snapshot ages 0..7; acceptance probability 2^-age
     tags=("sampling", "sample_hashbucket", "curation"),
 )
 def crawl_freshness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregates import dsum
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     t = docs.select(
         "source",
@@ -561,9 +561,9 @@ BM25F_K1 = 1.2
 #: keeps it finite (1.0 is arbitrary: 0 / 1.0 = 0) and ANSI-safe in Spark.
 _SQL_BM25F_WTF = (
     f"({BM25F_W_T} * tf_t / "
-    f"(CASE WHEN avg_t > 0 THEN 0.25 + {BM25F_B} * len_t / avg_t ELSE 1.0 END) + "
+    f"(CASE WHEN avg_t > 0 THEN {1.0 - BM25F_B} + {BM25F_B} * len_t / avg_t ELSE 1.0 END) + "
     f"{BM25F_W_B} * tf_b / "
-    f"(CASE WHEN avg_b > 0 THEN 0.25 + {BM25F_B} * len_b / avg_b ELSE 1.0 END))"
+    f"(CASE WHEN avg_b > 0 THEN {1.0 - BM25F_B} + {BM25F_B} * len_b / avg_b ELSE 1.0 END))"
 )
 
 
@@ -670,7 +670,7 @@ def bm25f_scores(docs: DataFrame, top_n: int = 5) -> DataFrame:
         # empty-field guard: see _SQL_BM25F_WTF note (tf is 0 whenever this arm fires)
         return F.when(
             F.col(avg_c) > 0,
-            F.lit(0.25) + F.lit(BM25F_B) * F.col(len_c) / F.col(avg_c),
+            F.lit(1.0 - BM25F_B) + F.lit(BM25F_B) * F.col(len_c) / F.col(avg_c),
         ).otherwise(F.lit(1.0))
 
     wtf = F.lit(BM25F_W_T) * F.col("tf_t") / _norm("len_t", "avg_t") + F.lit(

@@ -392,7 +392,11 @@ def stream_domain_drift(docs: DataFrame) -> DataFrame:
             json.loads(state.get[0]) if state.exists else {}
         )
         for pdf in pdfs:
-            g = pdf.groupby(["lang", "b"]).size()
+            # dropna defaults to True and would silently drop NULL-lang rows
+            # that the batch twin's GROUP BY counts as their own group; the
+            # \x00 sentinel keys that group in the JSON state (no real lang
+            # code can contain a NUL byte)
+            g = pdf.fillna({"lang": "\x00<null>"}).groupby(["lang", "b"]).size()
             for (lang, b), c in g.items():
                 cell = counts.setdefault(str(lang), [0, 0])
                 cell[int(b)] += int(c)
