@@ -383,7 +383,13 @@ def stream_domain_drift(docs: DataFrame) -> DataFrame:
 
     from ..functions.hashing import h64
 
-    t = docs.select(
+    # NULL-source parity (round-6 ADVICE): the batch twin and the shared
+    # SQL_DOMAIN_DRIFT oracle drop NULL-source rows at their
+    # `g JOIN t USING (source)` step, while a Spark groupBy would keep NULL
+    # as a state key and emit a drift row for it. Filter to match the join
+    # semantics (NULL lang, by contrast, IS a counted group — see the \x00
+    # sentinel below).
+    t = docs.where(F.col("source").isNotNull()).select(
         "source", "lang", (h64("doc_id", "snap") % 2).alias("b")
     )
 

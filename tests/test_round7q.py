@@ -398,3 +398,51 @@ def test_stream_domain_drift_carries_state_across_microbatches(
         n_multi += sum(1 for x in out if x["source"] == s) > 1
     # the split must actually have exercised cross-batch accumulation
     assert n_multi > 0
+
+
+def test_stream_domain_drift_drops_null_source_like_the_batch_join(
+    spark, tmp_path
+):
+    """NULL-source parity (round-6 ADVICE): the batch twin and the shared
+    oracle drop NULL-source rows at their `g JOIN t USING (source)` step
+    (SQL joins never match NULL keys), so the stream twin must not keep
+    NULL as a state key and emit a drift row for it. NULL lang stays a
+    counted group (the \\x00 sentinel)."""
+    import uuid
+
+    from big_data_analytics_mini_projects_spark.streaming.stream_stats import (
+        stream_domain_drift,
+    )
+
+    rows = [
+        (0, "a b", "en", "web", 3),
+        (1, "c d", "de", "web", 3),
+        (2, "e f", None, "web", 3),     # NULL lang: counted group
+        (3, "g h", "en", None, 3),      # NULL source: dropped like the join
+        (4, "i j", "de", None, 3),
+        (5, "k l", "en", "wiki", 3),
+        (6, "m n", "de", "wiki", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = str(tmp_path / "docs_null_source")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    name = f"dn_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_domain_drift(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).collect()
+    assert all(r["source"] is not None for r in out)
+    srcs = {r["source"] for r in out}
+    # both real sources that had rows in each snapshot half may or may not
+    # emit (depends on the seeded half split), but NULL must never appear
+    # and at least the 3-doc 'web' domain must have been processed
+    assert srcs <= {"web", "wiki"}
