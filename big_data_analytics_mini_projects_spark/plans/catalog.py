@@ -6,37 +6,37 @@ exactly this catalog to the verification driver.
 
 REGISTRATION ORDER MATTERS: the correctness driver verifies exactly the FIRST
 50 catalog entries per round (registration order == import order below, then
-decorator order within a module; 50 confirmed by CORRECTNESS_r03/r04/r05 all
+decorator order within a module; 50 confirmed by CORRECTNESS_r03..r06 all
 holding exactly the first-50 set of their round's ordering).
 
-ROUND-6 WINDOW (verdict items 1-3): the 34 stale driver greens — modules
-edited after their last driver run — plus the retuned dedup_embedding_bucketed
-and this round's new queries, plus the doc-only recommendq tail:
+ROUND-7 WINDOW (round-6 verdict items 1-2 + ROUND_QUEUE round-7 queue):
 
-  1. positions 0-6   — samplingq (7): last driver green r3, epilogue-
-     migration tail edits since;
-  2. positions 7-11  — sourcesq (5): last green r2, same class;
-  3. positions 12-23 — relationalx (12): last green r2, the most user-hit
-     family (ROLLUP/CUBE/pivot/rank/listagg/Q5/Q18);
-  4. positions 24-33 — multimodalq (10): last green r2 (sql_dsum oracle-text
-     change), INCLUDING the two applyInPandasWithState streaming twins
-     streaming_user_stats / streaming_scd2_intervals (round-4 verdict item
-     7, deferred twice — first driver verdict on current code due now);
-  5. positions 34-44 — round6q (11): the occupancy-rule retune of
-     dedup_embedding_bucketed (the round-5 verdict's one 100x non-runner,
-     moved here from vectorq for a fresh verdict) + 10 new queries
-     (<= 15 budget, round-3 rule): URL/domain curation and cross-snapshot
-     dedup stages;
-  6. positions 45-48 — recommendq (4): r4 green, doc-only diff since
-     (verified harmless; rotated in to clear the last stale-green);
-  7. position 49 — tpch_q2_min_price_supplier (tpchfull spill: fresh r5
-     green, harmless re-verify).
+  1. round7q (9)   — the ONLY catalog entries without a green CORRECTNESS
+     row (round-6-authored at the catalog tail; local-oracle + 100x-ledger
+     green, never driver-verified): ann_ivf_nprobe, dedup_containment,
+     domain_lang_drift, chunk_dedup_boilerplate, streaming_token_budget,
+     dedup_exact_substring, crawl_freshness_sample, bm25f_title_body,
+     streaming_domain_drift.
+  2. vectorq (3) + baselineq (4) — the re-staled ANN/embedding greens
+     (import-refactored in the round-6 extension session after their last
+     driver run; baselineq's module-level helper import executes vectorq
+     first, consistent with this order).
+  3. round8q (8)   — round 7's new queries (within the <= 15 budget net of
+     the four round7q item-c entries built early): real event-time
+     semantics (freshness decay, cohorts, sliding windows, transitions,
+     watermark-evicted streaming sessions) + OOV rate, Gini concentration,
+     and the exact-substring width sweep.
+  4. warehouseq (3) + decisionq (2) — the OLDEST driver greens (r3,
+     untouched since; routine re-verify rotation).
+  5. core (12) + textq (5) + statsq (first 4; corr_price_quantity spills
+     to position 50) — r4 greens, next-oldest.
 
-  Tier total: 7+5+12+10+11+4+1 = 50 — the window exactly. None of the six
-  tier-1 modules imports another plans/ query module (checked); shared
-  helpers live in plans/shared.py (registration-free) so a cross-module
-  import can never reorder this file's contract. The position probe in
-  tests/test_plan_hygiene.py pins the set.
+  Tier total: 9+3+4+8+3+2+12+5+4 = 50 — the window exactly. None of the
+  tier modules imports another plans/ query module except the two noted
+  pairs (round8q -> round7q for span_col; baselineq -> vectorq), both of
+  which import an EARLIER tier and so cannot reorder this contract. Shared
+  helpers live in plans/shared.py (registration-free). The position probe
+  in tests/test_plan_hygiene.py pins the set.
 
 Round queues and history move to ROUND_QUEUE.md (round-5 verdict item 8) —
 this docstring stays the registration-order contract only.
@@ -51,21 +51,33 @@ driver coverage in its first round.
 from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
 # Each import populates the registry via @register side effects.
-# -- tier 1: stale driver greens (modules edited after their last driver
-# run; all green in the builder's HEAD differential) --
-from . import samplingq  # noqa: F401  (r3 green; epilogue-migration tail)
-from . import sourcesq  # noqa: F401  (r2 green; epilogue-migration tail)
-from . import relationalx  # noqa: F401  (r2 green; most user-hit family)
-from . import multimodalq  # noqa: F401  (r2 green; incl. the 2 stateful streaming twins)
+# -- tier 1: the nine never-driver-verified round7q queries --
+from . import round7q  # noqa: F401
 
-# -- tier 2: round-6 work — the retuned bucketed embedding dedup + new
-# URL/domain-curation and cross-snapshot dedup queries --
+# -- tier 2: re-staled ANN/embedding greens (vectorq before baselineq:
+# baselineq's helper import executes vectorq anyway) --
+from . import vectorq  # noqa: F401
+from . import baselineq  # noqa: F401
+
+# -- tier 3: round-7 new queries --
+from . import round8q  # noqa: F401
+
+# -- tier 4: oldest driver greens (r3, untouched since) --
+from . import warehouseq  # noqa: F401
+from . import decisionq  # noqa: F401
+
+# -- tier 5: r4 greens, next oldest (statsq's last entry spills to 50) --
+from . import core  # noqa: F401
+from . import textq  # noqa: F401
+from . import statsq  # noqa: F401
+
+# -- outside the window: most recent driver greens first (r6 then r5/r4) --
+from . import samplingq  # noqa: F401
+from . import sourcesq  # noqa: F401
+from . import relationalx  # noqa: F401
+from . import multimodalq  # noqa: F401
 from . import round6q  # noqa: F401
-
-# -- tier 3: r4 green, doc-only diff since --
 from . import recommendq  # noqa: F401
-
-# -- tier 4: fresh round-5 driver greens on current code --
 from . import tpchfull  # noqa: F401
 from . import privacyq  # noqa: F401
 from . import similarityq  # noqa: F401
@@ -76,25 +88,9 @@ from . import corpusq  # noqa: F401
 from . import sketchq  # noqa: F401
 from . import mlq  # noqa: F401
 from . import pipelineq  # noqa: F401
-
-# -- tier 5: r4 greens on current code --
-from . import core  # noqa: F401
-from . import textq  # noqa: F401
-from . import baselineq  # noqa: F401  (module-level helper import executes vectorq first)
-from . import statsq  # noqa: F401
 from . import streamequivq  # noqa: F401
 from . import curationq  # noqa: F401
 from . import qualityq  # noqa: F401
 from . import linalgq  # noqa: F401
 from . import tpchx  # noqa: F401
 from . import fuzzydedupq  # noqa: F401
-
-# -- tier 6: r3-green, untouched since --
-from . import warehouseq  # noqa: F401
-from . import decisionq  # noqa: F401
-
-# -- tail: round-6-authored queries for the ROUND-7 window (never driver-
-# verified yet — deliberately registered AFTER every green module so the
-# round-6 rotation window above is untouched; see plans/round7q.py and
-# ROUND_QUEUE.md) --
-from . import round7q  # noqa: F401

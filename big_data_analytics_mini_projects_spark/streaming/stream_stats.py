@@ -431,3 +431,118 @@ def stream_domain_drift(docs: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+#: Inactivity gap for the watermark-evicted streaming sessionizer — same
+#: 10 minutes as the batch session_windows_users query (plans/samplingq.py;
+#: defined here registration-free so plan modules can share it without
+#: dragging samplingq's registrations forward in the catalog).
+SESSIONS_GAP_US = 600_000_000
+
+
+def stream_sessions_closed(events: DataFrame) -> DataFrame:
+    """Stateful streaming sessionization with WATERMARKED EVICTION
+    (applyInPandasWithState + EventTimeTimeout, append mode): per user the
+    open session lives in 4-long state; a session is emitted when it CLOSES,
+    which happens two ways —
+
+    - ``closed_by = 'event'``: the user's next event arrives >= 10 min after
+      the session's last event (the batch gap rule, ``t - lag(t) >= GAP``);
+    - ``closed_by = 'timeout'``: the EVENT-TIME watermark passes the open
+      session's timeout (last event + gap) — idle state is EVICTED instead
+      of accumulating forever, the property that bounds state size on an
+      unbounded stream where users go quiet.
+
+    Timeout boundary semantics (pinned empirically, tests/test_round8q.py):
+    Spark floors event-time micros to ms for the watermark, and an
+    event-time timeout fires iff ``timeout_ms < watermark_ms`` STRICTLY;
+    with ``withWatermark(ts, '0 seconds')`` the final availableNow no-data
+    batch runs with watermark_ms = floor(max_event_us / 1000). The operator
+    sets ``timeout_ms = (last_us + gap_us) // 1000``, so an open session is
+    evicted iff ``(last_us + gap) // 1000 < gmax_us // 1000`` — exactly the
+    integer-arithmetic predicate the DuckDB oracle runs.
+
+    Determinism contract: the registered query reads the single-file events
+    source, so availableNow delivers ONE data batch (each user's rows fold
+    in one sorted pass) plus the final timeout batch. On a genuinely
+    multi-batch live stream the emitted SESSIONS are identical as long as
+    files arrive in event-time order; only the closed_by label can shift
+    from 'event' to 'timeout' for sessions that idle across a batch
+    boundary (documented, not oracled — the oracle runs the single-batch
+    contract).
+
+    Value sums are integer cents in state (floor(value*100 + 0.5), the
+    stream_user_stats convention) — batch-order independent and
+    hash-exact."""
+    import pandas as pd  # local: Arrow path only materializes on executors
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t = (
+        events.withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", "ts_us", "event_id", "value")
+    )
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            start_us, last_us, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us + SESSIONS_GAP_US],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        rows = (
+            pd.concat(list(pdfs), ignore_index=True)
+            .sort_values(["ts_us", "event_id"])
+            .reset_index(drop=True)
+        )
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        else:
+            start_us = None
+        out = []
+        import math
+
+        for r in rows.itertuples(index=False):
+            t_us = int(r.ts_us)
+            # half-up cents, floor(x*100 + 0.5) — the stream_user_stats /
+            # oracle convention, including for negatives
+            c = int(math.floor(float(r.value) * 100 + 0.5))
+            if start_us is None:
+                start_us, last_us, n, cents = t_us, t_us, 1, c
+            elif t_us - last_us >= SESSIONS_GAP_US:
+                out.append(
+                    (key[0], start_us, last_us + SESSIONS_GAP_US, n, cents, "event")
+                )
+                start_us, last_us, n, cents = t_us, t_us, 1, c
+            else:
+                last_us, n, cents = t_us, n + 1, cents + c
+        state.update((start_us, last_us, n, cents))
+        state.setTimeoutTimestamp((last_us + SESSIONS_GAP_US) // 1000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "session_start_us",
+                    "session_end_us",
+                    "n_events",
+                    "total_cents",
+                    "closed_by",
+                ],
+            )
+
+    return t.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, session_start_us long, session_end_us long, "
+        "n_events long, total_cents long, closed_by string",
+        "start_us long, last_us long, n long, cents long",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -61,55 +61,60 @@ BNLJ_OK = {
     # broadcast 1-row corpus-count frame driving the occupancy-rule band
     # width (round-6 retune)
     "dedup_embedding_bucketed",
+    # broadcast 1-row global-max-event-time frame (freshness age origin)
+    "doc_freshness_by_event_time",
 }
 
 
-#: Round-6 verification rotation (catalog.py tiers 1-3): the 34 stale
-#: driver greens (samplingq/sourcesq/relationalx/multimodalq — incl. the two
-#: applyInPandasWithState streaming twins), the retuned
-#: dedup_embedding_bucketed + this round's new round6q queries, and the
-#: doc-only recommendq tail. Every one MUST register inside the driver's
-#: 50-entry window or it gets no fresh verdict this round.
-ROUND6_WINDOW_SET = {
-    # tier 1: stale driver greens (samplingq x7, sourcesq x5,
-    # relationalx x12, multimodalq x10)
-    "agg_distinct_users", "welford_global_stats", "sample_hashbucket_stats",
-    "sample_twopass_stats", "events_hourly", "session_windows_users",
-    "sample_stratified",
-    "scan_csv_transactions", "scan_text_reviews", "bucketed_join_orders",
-    "sort_out_nation_stats", "sink_partitioned_pruned",
-    "rollup_revenue", "cube_orders_status_priority", "tpch_q5_local_supplier",
-    "range_join_purchase_context", "rolling_avg_user_value",
-    "quantile_order_value", "pivot_user_event_matrix",
-    "unpivot_lineitem_measures", "window_ranks_customers",
-    "listagg_nation_names", "tpch_q18_large_orders", "histogram_order_values",
-    "multimodal_meta", "multimodal_frames", "multimodal_wav_decode",
-    "multimodal_bmp_decode", "streaming_welford_stats",
-    "streaming_hourly_counts", "streaming_user_stats",
-    "streaming_scd2_intervals", "streaming_interval_join",
-    "streaming_dedup_events",
-    # tier 2: round-6 work (round6q — retune + new queries)
-    "dedup_embedding_bucketed",
-    # tier 3: doc-only recommendq tail
-    "cf_item_similarity", "cf_predict_ratings", "cf_predict_ratings_k50",
-    "cf_item_similarity_salted",
+#: Round-7 verification rotation (catalog.py tiers 1-5): the nine never-
+#: driver-verified round7q queries, the seven re-staled vectorq/baselineq
+#: ANN/embedding greens, round 7's new round8q queries (included
+#: dynamically), and the oldest-green re-verify tail (warehouseq/decisionq
+#: r3; core/textq/statsq r4 — statsq's corr_price_quantity is the planned
+#: position-50 spill and is deliberately NOT mandatory). Every one MUST
+#: register inside the driver's 50-entry window or it gets no fresh verdict
+#: this round.
+ROUND7_WINDOW_SET = {
+    # tier 1: round7q x9 — only catalog entries without a CORRECTNESS row
+    "ann_ivf_nprobe", "dedup_containment", "domain_lang_drift",
+    "chunk_dedup_boilerplate", "streaming_token_budget",
+    "dedup_exact_substring", "crawl_freshness_sample", "bm25f_title_body",
+    "streaming_domain_drift",
+    # tier 2: re-staled ANN/embedding greens (vectorq x3 + baselineq x4)
+    "ann_cosine_topk_blocked", "ann_multiprobe_topk",
+    "embedding_diversity_by_label",
+    "ann_cosine_topk", "dedup_embedding_cosine", "ann_hyperplane_buckets",
+    "embedding_label_stats",
+    # tier 4: oldest greens (warehouseq x3 r3, decisionq x2 r3)
+    "scan_orc_roundtrip", "incremental_snapshot_merge", "profile_table_stats",
+    "tpch_q4_order_priority", "tpch_q13_customer_distribution",
+    # tier 5: r4 greens (core x12, textq x5, statsq first 4)
+    "project_json_events", "ratings_last_per_key", "ratings_last_seen_compat",
+    "having_count_items", "semi_join_orders", "anti_join_customers",
+    "broadcast_join_revenue", "tpch_q1_pricing_summary", "tpch_q3_top_orders",
+    "topk_orders_per_segment", "asof_join_error_attribution",
+    "salted_join_skewed",
+    "wordcount_topk", "wordcount_full", "wordcount_mem_fixture",
+    "set_difference", "mean_std_chars",
+    "ols_simple_words", "ols_simple_words_zero_rows", "ols_multi_words",
+    "ols_words_pvalues",
 }
 
 
-def test_round6_window_positions():
+def test_round7_window_positions():
     """The driver checks exactly the first 50 registration positions
-    (CORRECTNESS_r03/r04/r05 all hold exactly that set); the whole round-6
-    verification rotation must sit inside them. round6q's new queries are
-    included dynamically: every round6q registration is window-mandatory."""
+    (CORRECTNESS_r03..r06 all hold exactly that set); the whole round-7
+    verification rotation must sit inside them. round8q's new queries are
+    included dynamically: every round8q registration is window-mandatory."""
     order = list(QUERIES)
-    # mandatory = explicit set + everything registered by plans.round6q
-    import big_data_analytics_mini_projects_spark.plans.round6q as r6
+    # mandatory = explicit set + everything registered by plans.round8q
+    import big_data_analytics_mini_projects_spark.plans.round8q as r8
 
-    r6_registered = {
+    r8_registered = {
         n for n in QUERIES
-        if callable(getattr(r6, n, None))
+        if callable(getattr(r8, n, None))
     }
-    mandatory = ROUND6_WINDOW_SET | r6_registered
+    mandatory = ROUND7_WINDOW_SET | r8_registered
     late = {n for n in mandatory if order.index(n) >= 50}
     assert not late, f"outside the 50-entry driver window: {sorted(late)}"
     assert len(mandatory) <= 50
@@ -173,3 +178,33 @@ def test_minhash_simhash_no_scatter_exchange(spark, sf_dir):
         hash_exch = [e for e in exchanges if "hashpartitioning" in e]
         assert len(hash_exch) == 1, exchanges
         assert "shingle" not in hash_exch[0], hash_exch
+
+
+def test_round7q_shapes_pinned(spark, sf_dir):
+    """Round-6 verdict item 7: pin the round7q scale shapes like the older
+    families. (a) dedup_exact_substring's span stream stays scatter-free —
+    span hashing is map-side (no exchange keyed on the span text) and the
+    only doc_id-keyed exchange is the island-merge window's; the dup-set
+    join-back is an equi-join on the uniform 60-bit h. (b) bm25f keeps the
+    no-doc-join-back shape its docstring promises: every equi-join keys on
+    `word` (the df join); doc_id appears only in aggregate partials, never
+    in a join condition."""
+    import re
+
+    from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+
+    es = QUERIES["dedup_exact_substring"].build(spark, sf_dir)
+    plan = es._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert not any("span" in e for e in exchanges), exchanges
+    doc_exch = [e for e in exchanges if e.startswith("doc_id")]
+    assert len(doc_exch) == 1, exchanges  # the island window only
+    joins = re.findall(r"(\w*HashJoin|SortMergeJoin)\w* \[([^\]]*)\]", plan)
+    assert joins and all(k.startswith("h#") for _, k in joins), joins
+
+    bm = QUERIES["bm25f_title_body"].build(spark, sf_dir)
+    plan = bm._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    joins = re.findall(r"(\w*HashJoin|SortMergeJoin)\w* \[([^\]]*)\]", plan)
+    assert joins, "expected the word-keyed df join"
+    assert all(k.startswith("word#") for _, k in joins), joins
+    assert "doc_id" not in " ".join(k for _, k in joins)
