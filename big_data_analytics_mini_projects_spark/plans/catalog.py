@@ -94,3 +94,9 @@ from . import qualityq  # noqa: F401
 from . import linalgq  # noqa: F401
 from . import tpchx  # noqa: F401
 from . import fuzzydedupq  # noqa: F401
+
+# -- tail: round-7-authored queries for the ROUND-8 window (never driver-
+# verified yet — deliberately registered AFTER every green module so the
+# round-7 rotation window above is untouched; see plans/round9q.py and
+# ROUND_QUEUE.md) --
+from . import round9q  # noqa: F401
