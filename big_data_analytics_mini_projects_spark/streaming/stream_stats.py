@@ -524,7 +524,15 @@ def stream_sessions_closed(events: DataFrame) -> DataFrame:
             else:
                 last_us, n, cents = t_us, n + 1, cents + c
         state.update((start_us, last_us, n, cents))
-        state.setTimeoutTimestamp((last_us + SESSIONS_GAP_US) // 1000)
+        # Clamp to strictly above the current watermark: Spark REJECTS an
+        # event-time timeout at or below it, which a late-arriving user's
+        # stale session would otherwise trigger on a live multi-batch
+        # stream. Under the single-data-batch oracle contract the watermark
+        # is 0 here, so the clamp never engages and results are unchanged;
+        # when it does engage, the session is evicted at the next batch
+        # boundary — the same destiny the unclamped timeout already implied.
+        desired = (last_us + SESSIONS_GAP_US) // 1000
+        state.setTimeoutTimestamp(max(desired, state.getCurrentWatermarkMs() + 1))
         if out:
             yield pd.DataFrame(
                 out,

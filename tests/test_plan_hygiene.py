@@ -41,6 +41,7 @@ BNLJ_OK = {
     "funnel_conversion",    # three stage-count scalars
     "kmeans_lloyd_step",    # K=8 centroid frame
     "ann_ivf_nprobe",       # |Q| x 10-cell centroid frame (broadcast-bounded)
+    "ann_ivf_lloyd",        # corpus x 10-cell centroid assignment frames (broadcast-bounded K)
     "ols_simple_words",     # dense docs x top-K word frame (broadcast-bounded)
     "ols_simple_words_zero_rows",
     "ols_multi_words",
