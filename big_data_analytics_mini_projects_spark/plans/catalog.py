@@ -97,6 +97,7 @@ from . import fuzzydedupq  # noqa: F401
 
 # -- tail: round-7-authored queries for the ROUND-8 window (never driver-
 # verified yet — deliberately registered AFTER every green module so the
-# round-7 rotation window above is untouched; see plans/round9q.py and
-# ROUND_QUEUE.md) --
+# round-7 rotation window above is untouched; see plans/round9q.py,
+# plans/round10q.py and ROUND_QUEUE.md) --
 from . import round9q  # noqa: F401
+from . import round10q  # noqa: F401

@@ -64,6 +64,10 @@ BNLJ_OK = {
     "dedup_embedding_bucketed",
     # broadcast 1-row global-max-event-time frame (freshness age origin)
     "doc_freshness_by_event_time",
+    # corpus x 10-cell centroid assignment passes (broadcast-bounded K)
+    "lloyd_convergence_curve",
+    # |Q| x corpus labeled brute-force ground-truth side of the recall gate
+    "ann_recall_ivf",
 }
 
 
