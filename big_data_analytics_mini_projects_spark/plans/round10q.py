@@ -24,6 +24,11 @@ the training-data-pipeline surface:
 - ``event_value_mad_outliers`` — robust per-type outlier accounting via
   exact median/MAD on integer cents (cross-engine-exact interpolated
   percentiles, pinned in tests/test_round10q.py).
+- ``streaming_late_data_drop`` — the queue's "late-data drop accounting":
+  a 3-batch deterministic replay makes watermark drops OBSERVABLE, with
+  Spark's batch-lagged filter watermark and window-end drop/emit
+  predicates pinned empirically and mirrored in exact integer oracle
+  arithmetic (tests/test_round10q.py boundary pins).
 """
 
 from __future__ import annotations
@@ -418,6 +423,77 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_late_data_drop
+# --------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+
+
+def _register_late_drop():
+    # deferred import: streaming module constants, registration-free
+    from ..streaming.stream_stats import LATE_BUCKETS, LATE_DELAY_MS
+
+    end_ms = f"(((t // {HOUR_US}) * {HOUR_US} + {HOUR_US}) // 1000)"
+    oracle = (
+        "WITH e AS (SELECT event_type, value, epoch_us(ts) AS t, "
+        f"{h64_sql('event_id', 'late')} % {LATE_BUCKETS} AS b FROM events), "
+        f"wmf AS (SELECT MAX(t) // 1000 - {LATE_DELAY_MS} AS w FROM e WHERE b = 0), "
+        f"wme AS (SELECT MAX(t) // 1000 - {LATE_DELAY_MS} AS w FROM e), "
+        f"k AS (SELECT event_type, value, (t // {HOUR_US}) * {HOUR_US} AS ws "
+        f"FROM e WHERE b < {LATE_BUCKETS - 1} OR {end_ms} > (SELECT w FROM wmf)) "
+        "SELECT ws AS window_start_us, event_type, COUNT(*) AS n, "
+        f"{sql_dsum('value')} AS sum_value "
+        f"FROM k WHERE (ws + {HOUR_US}) // 1000 <= (SELECT w FROM wme) "
+        "GROUP BY ws, event_type"
+    )
+
+    @register(
+        "streaming_late_data_drop",
+        oracle=oracle,
+        doc="Watermark LATE-DATA DROP ACCOUNTING — the ROUND_QUEUE round-8 "
+        "item: hourly per-type counts over a deterministic 3-batch replay "
+        "(events_replay_stream: bulk load, then two straggler trickles via "
+        "mtime-ordered files + maxFilesPerTrigger=1), watermark delay 2 h, "
+        "append mode. What a single-file availableNow run can never show: "
+        "batch-2 stragglers whose window closed under the advanced "
+        "watermark are DROPPED, so the emitted counts genuinely exclude "
+        "too-late data. Spark's boundary semantics, pinned empirically in "
+        "tests/test_round10q.py and mirrored in exact integer oracle "
+        "arithmetic: (a) the late FILTER of batch N uses the watermark "
+        "derived from batches 0..N-2 (one-batch lag), so batch-1 "
+        "stragglers are absorbed and only batch-2 rows can drop; (b) drop "
+        "and emit predicates are both window_end_ms <= wm_ms (non-strict), "
+        "on the ms-floored watermark max_us//1000 - delay_ms; (c) "
+        "availableNow appends a final no-data batch so every window at or "
+        "below the final watermark emits. Windows above the final "
+        "watermark stay buffered (never emitted) — the long-watermark "
+        "twin behavior (delay > span emits NOTHING) is asserted as a unit "
+        "test. State is O(open windows x event types); the replay files "
+        "re-read the events table, so the accounting runs at corpus scale "
+        "with no driver materialization.",
+        tags=("streaming", "time", "window"),
+        bench=False,
+    )
+    def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..streaming.stream_stats import (
+            LATE_DELAY,
+            events_replay_stream,
+            run_available_now,
+            stream_hourly_counts,
+        )
+
+        ev = events_replay_stream(spark, sf_dir)
+        return run_available_now(
+            stream_hourly_counts(ev, LATE_DELAY), output_mode="append"
+        )
+
+    return streaming_late_data_drop
+
+
+streaming_late_data_drop = _register_late_drop()
 
 
 # --------------------------------------------------------------------------

@@ -433,6 +433,69 @@ def stream_domain_drift(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Watermark delay of the late-data drop-accounting query (streaming_
+#: late_data_drop) — shared by the replay source, the registered query, and
+#: the oracle's integer-arithmetic mirror.
+LATE_DELAY = "2 hours"
+LATE_DELAY_MS = 7_200_000
+LATE_BUCKETS = 3
+
+
+def events_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-file deterministic replay of the events table — the multi-batch
+    source that makes WATERMARK LATE-DATA SEMANTICS observable (a single-file
+    availableNow run is always one data batch, so nothing is ever late).
+
+    The table is split by ``h64(event_id, 'late') % 3`` into three parquet
+    files written under the scratch root with strictly increasing pinned
+    mtimes; ``maxFilesPerTrigger=1`` + ``latestFirst=false`` then replays
+    them as three ordered micro-batches (FileStreamSource orders by
+    modification time). Bucket 0 is "the bulk load", buckets 1 and 2 are
+    two straggler trickles that arrive after the watermark has moved.
+    Timestamps travel as ``ts_us`` longs (no parquet-timestamp re-encoding
+    ambiguity) and ``ts`` is rebuilt on the stream side. The split is a
+    3-pass write here for construction simplicity; a production replay
+    harness would write all shards in one partitionBy pass."""
+    import glob
+    import os
+    import shutil
+
+    ensure_runtime_confs(spark)
+    from ..functions.hashing import h64
+    from ..plans.shared import reset_scratch, scratch_path
+    from ..sources.tables import load_table
+
+    base = scratch_path("late_replay", sf_dir)
+    reset_scratch(base)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts_us",
+        (h64("event_id", "late") % LATE_BUCKETS).alias("b"),
+    )
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir)
+    for b in range(LATE_BUCKETS):
+        part_dir = os.path.join(base, f"part{b}")
+        ev.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"{b}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1000.0 * (b + 1), 1000.0 * (b + 1)))
+    schema = spark.read.parquet(stream_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+
 #: Inactivity gap for the watermark-evicted streaming sessionizer — same
 #: 10 minutes as the batch session_windows_users query (plans/samplingq.py;
 #: defined here registration-free so plan modules can share it without

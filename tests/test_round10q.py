@@ -128,6 +128,120 @@ def test_ann_recall_bounds_and_blocked_dominance(spark, sf_dir):
         assert r["recall"] == round(r["n_hits"] / IVF_K, 6)
 
 
+def _replay_hourly(spark, tmp_path, files, delay="2 hours"):
+    """Replay mtime-ordered parquet files through the watermarked hourly
+    window aggregate and return (emitted rows, recentProgress)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    stream_dir = str(tmp_path / f"stream_{uuid.uuid4().hex[:8]}")
+    os.makedirs(stream_dir)
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(rows, "event_id long, ts_us long")
+        part = str(tmp_path / f"part_{uuid.uuid4().hex[:8]}")
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        dst = os.path.join(stream_dir, f"{i}.parquet")
+        shutil.copy(glob.glob(part + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1000.0 * (i + 1), 1000.0 * (i + 1)))
+    sch = spark.read.parquet(stream_dir).schema
+    sdf = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    agg = (
+        sdf.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.collect_list("event_id").alias("ids"))
+        .select(F.unix_micros("w.start").alias("ws"), "ids")
+    )
+    name = f"late_pin_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["ws"]: sorted(r["ids"]) for r in spark.table(name).collect()
+    }
+    return rows, q.recentProgress
+
+
+HOUR = 3_600_000_000
+MIN = 60_000_000
+
+
+def test_late_filter_lags_one_batch_and_uses_window_end(spark, tmp_path):
+    """The two boundary pins streaming_late_data_drop's oracle rests on:
+
+    (a) the late FILTER of batch N uses the watermark from batches 0..N-2 —
+        batch-1 rows are never dropped, and batch-2's fence comes from
+        batch 0's max (10h -> wm 8h), NOT batch 1's (11h -> 9h);
+    (b) the drop predicate is WINDOW-END based, non-strict: a row at
+        8h+1us (event time below an 8.5h watermark) survives because its
+        window [8h,9h) ends above it, while the [7h,8h) window's row
+        (end == fence in the aligned probe) is dropped."""
+    # distinct per-batch maxima: A max 10h, B max 11h
+    a = [(0, 0), (1, 10 * HOUR)]
+    b = [(100, 11 * HOUR)]
+    c = [(200, 8 * HOUR + 1), (201, 7 * HOUR + 1)]
+    rows, progress = _replay_hourly(spark, tmp_path, [a, b, c])
+    dropped = [
+        s["numRowsDroppedByWatermark"]
+        for p in progress
+        for s in p["stateOperators"]
+    ]
+    # only batch 2 drops, and only the end<=8h row (fence from batch 0 max)
+    assert sum(dropped) == 1
+    # final watermark 11h-2h=9h: [8h,9h) end 9h <= 9h emits (non-strict),
+    # with the batch-2 survivor aggregated
+    assert rows[8 * HOUR] == [200]
+    assert rows[0] == [0]
+    assert 7 * HOUR not in rows  # its only row was dropped
+    assert 10 * HOUR not in rows  # end 11h > wm 9h: buffered, never emitted
+
+    # window-end pin at a NON-aligned watermark (A max 10h30m -> wm 8h30m):
+    # row at 8h15m is below the watermark but its window end (9h) is above
+    a2 = [(0, 0), (1, 10 * HOUR + 30 * MIN)]
+    b2 = [(100, 1)]
+    c2 = [(200, 8 * HOUR + 15 * MIN), (201, 7 * HOUR + 59 * MIN)]
+    rows2, progress2 = _replay_hourly(spark, tmp_path, [a2, b2, c2])
+    dropped2 = [
+        s["numRowsDroppedByWatermark"]
+        for p in progress2
+        for s in p["stateOperators"]
+    ]
+    assert sum(dropped2) == 1          # only the end-8h row
+    assert 8 * HOUR not in rows2       # survivor buffered (end 9h > 8.5h)
+    assert rows2[0] == [0, 100]
+
+
+def test_late_drop_long_watermark_twin(spark, tmp_path):
+    """The latency/completeness trade: with a watermark longer than the
+    data span nothing is ever late — and nothing is ever FINAL either, so
+    append mode emits zero windows (state is all open)."""
+    a = [(0, 0), (1, 10 * HOUR)]
+    c = [(200, 1), (201, 5 * HOUR)]
+    rows, progress = _replay_hourly(
+        spark, tmp_path, [a, [(100, 2)], c], delay="720 hours"
+    )
+    assert rows == {}
+    assert all(
+        s["numRowsDroppedByWatermark"] == 0
+        for p in progress
+        for s in p["stateOperators"]
+    )
+
+
 def test_lloyd_curve_monotone_inertia(spark, sf_dir):
     """The Lloyd guarantee: inertia never increases across iterations (the
     assignment step only ever moves a point to a closer centroid, and the
