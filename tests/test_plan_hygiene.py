@@ -213,3 +213,38 @@ def test_round7q_shapes_pinned(spark, sf_dir):
     assert joins, "expected the word-keyed df join"
     assert all(k.startswith("word#") for _, k in joins), joins
     assert "doc_id" not in " ".join(k for _, k in joins)
+
+
+def test_round10q_shapes_pinned(spark, sf_dir):
+    """Pin the round10q scale shapes. (a) domain_cap_sweep runs exactly ONE
+    rank window (the three caps are conditional aggregates over it, no
+    per-cap re-rank) and its only corpus exchange keys on source. (b)
+    retention_value_bands co-partitions everything on user_id: every
+    corpus-scale exchange hashes user_id, and the final (cohort, band,
+    offset) aggregate is the only non-user exchange. (c) vocab_growth_curve
+    never exchanges on doc_id (token counts and first-bucket mins key on
+    word/bucket; the running-sum window runs on the 10-row bucket frame)."""
+    import re
+
+    from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+
+    cs = QUERIES["domain_cap_sweep"].build(spark, sf_dir)
+    plan = cs._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert plan.count("RunningWindowFunction") <= 1
+    assert len(re.findall(r"\bWindow(?:GroupLimit)? ", plan)) <= 2, plan[:200]
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all(e.startswith("source#") for e in exchanges), exchanges
+
+    rb = QUERIES["retention_value_bands"].build(spark, sf_dir)
+    plan = rb._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    non_user = [e for e in exchanges if not e.startswith("user_id#")]
+    # the final aggregate's two-phase COUNT DISTINCT: one exchange on
+    # (cohort, band, offset, user_id) then one on (cohort, band, offset)
+    assert len(non_user) <= 2, exchanges
+    assert all(e.startswith("cohort#") for e in non_user), exchanges
+
+    vg = QUERIES["vocab_growth_curve"].build(spark, sf_dir)
+    plan = vg._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert not any(e.startswith("doc_id#") for e in exchanges), exchanges
