@@ -101,3 +101,4 @@ from . import fuzzydedupq  # noqa: F401
 # plans/round10q.py and ROUND_QUEUE.md) --
 from . import round9q  # noqa: F401
 from . import round10q  # noqa: F401
+from . import round11q  # noqa: F401

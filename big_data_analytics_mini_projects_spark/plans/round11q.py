@@ -1,0 +1,708 @@
+"""Round-7-continuation-authored queries for the ROUND-8 driver window
+(the forward-batch path round7q/round9q/round10q established: registered at
+the catalog TAIL so the live round-7 rotation stays byte-identical; covered
+from day one by the local differential gate and the 10x/100x ledger, first
+driver verdict next rotation). These five COMPLETE round 8's <= 15 new-query
+budget (round9q 3 + round10q 7 + round11q 5 = 15; ROUND_QUEUE round-8 queue
+items a/c).
+
+The batch closes the remaining ROUND_QUEUE item (c) candidates and adds two
+quality-accounting curves for the dedup/curation surface:
+
+- ``watermark_sensitivity_hourly`` — the queue's "replay twin of
+  events_hourly at two watermark settings compared side-by-side": the same
+  3-batch replay run at 2 h and 30 min delays, exposing the
+  freshness-vs-completeness trade (short delay closes more windows but
+  drops more stragglers).
+- ``retention_quality_bridge``    — the queue's "per-cohort retention
+  joined to document-quality signals ACROSS tables": weekly event cohorts
+  segmented by a documents-table token-mass band via a fixed 4096-bucket
+  hash link (the doc_freshness_by_event_time bridge pattern in reverse).
+- ``srp_recall_probe_curve``      — the queue's "recall curve of SRP
+  multiprobe vs probe count": recall@10 and candidate cost at 1/3/5/7
+  probes from ONE candidate pass, against the brute-force ground truth.
+- ``lsh_recall_precision``        — dedup-quality accounting: candidate and
+  verified-stage recall/precision of the MinHash-LSH chain against exact
+  trigram-Jaccard truth on the labeled all-pairs slice.
+- ``quality_threshold_sweep``     — keep-rate tuning curve of the quality
+  classifier at four thresholds in one pass (the domain_cap_sweep shape
+  applied to the model-score filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..caching import persist_tracked
+from ..functions.hashing import h64, h64_sql
+from ..functions.text import round_stable, sql_round_stable
+from ..operators.aggregates import dsum, sql_dsum
+from ..operators.similarity import lsh_bands, lsh_candidates, minhash_signatures
+from ..operators.vector import _dot, cosine_topk, hyperplane_buckets
+from ..sources.tables import load_table, spread
+from .privacyq import _W_AVGLEN, _W_BIAS, _W_NTOK, _W_STOP
+from .registry import register
+from .round8q import WEEK_US
+from .shared import SQL_VECS, embedding_vectors
+from .similarityq import (
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    _SQL_BANDS,
+    _SQL_H64_SH,
+    _SQL_SCORED,
+    _shingles,
+)
+
+HOUR_US = 3_600_000_000
+
+# --------------------------------------------------------------------------
+# watermark_sensitivity_hourly
+# --------------------------------------------------------------------------
+
+#: (Spark watermark string, delay in ms) — the long setting is the pinned
+#: streaming_late_data_drop delay; the short one closes windows 4x sooner.
+SENS_DELAYS = (("2 hours", 7_200_000), ("30 minutes", 1_800_000))
+
+
+def _register_watermark_sensitivity():
+    # deferred import: streaming module constants, registration-free
+    from ..streaming.stream_stats import LATE_BUCKETS
+
+    end_ms = f"(((t // {HOUR_US}) * {HOUR_US} + {HOUR_US}) // 1000)"
+    blocks = []
+    for i, (_, d_ms) in enumerate(SENS_DELAYS):
+        blocks.append(
+            f"k{i} AS (SELECT event_type, value, "
+            f"(t // {HOUR_US}) * {HOUR_US} AS ws FROM e "
+            f"WHERE b < {LATE_BUCKETS - 1} "
+            f"OR {end_ms} > (SELECT MAX(t) // 1000 - {d_ms} FROM e WHERE b = 0)), "
+            f"w{i} AS (SELECT ws, event_type, COUNT(*) AS n, "
+            f"{sql_dsum('value')} AS sum_value FROM k{i} "
+            f"WHERE (ws + {HOUR_US}) // 1000 <= "
+            f"(SELECT MAX(t) // 1000 - {d_ms} FROM e) "
+            "GROUP BY ws, event_type)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({d_ms} AS BIGINT) AS delay_ms, event_type, "
+        "COUNT(*) AS n_windows, CAST(SUM(n) AS BIGINT) AS n_events, "
+        f"{sql_dsum('sum_value')} AS sum_value FROM w{i} GROUP BY event_type"
+        for i, (_, d_ms) in enumerate(SENS_DELAYS)
+    )
+    oracle = (
+        "WITH e AS (SELECT event_type, value, epoch_us(ts) AS t, "
+        f"{h64_sql('event_id', 'late')} % {LATE_BUCKETS} AS b FROM events), "
+        + ", ".join(blocks)
+        + " "
+        + selects
+    )
+
+    @register(
+        "watermark_sensitivity_hourly",
+        oracle=oracle,
+        doc="Watermark SENSITIVITY side-by-side — the ROUND_QUEUE round-8 "
+        "item: the hourly per-type replay accounting of "
+        "streaming_late_data_drop run at TWO watermark delays (2 h and "
+        "30 min) over the SAME 3-batch replay files, summarized per "
+        "(delay, event_type). The curve a pipeline owner reads before "
+        "picking a production watermark: the short delay closes ~4x more "
+        "window mass by the end of the replay (freshness) but drops every "
+        "batch-2 straggler whose window closed under the faster-moving "
+        "watermark (completeness). Spark's pinned boundary semantics "
+        "(batch-lagged filter watermark; non-strict ms-floored drop/emit "
+        "predicates — tests/test_round10q.py) are mirrored per delay in "
+        "exact integer oracle arithmetic; per-window value sums and their "
+        "per-type totals are exact decimal. The replay files are written "
+        "once and each setting opens an independent stream over them; "
+        "state per run is O(open windows x event types).",
+        tags=("streaming", "time", "window"),
+        bench=False,
+    )
+    def watermark_sensitivity_hourly(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..streaming.stream_stats import (
+            events_replay_files,
+            open_replay_stream,
+            run_available_now,
+            stream_hourly_counts,
+        )
+
+        stream_dir = events_replay_files(spark, sf_dir)
+        parts = []
+        for wm_str, wm_ms in SENS_DELAYS:
+            out = run_available_now(
+                stream_hourly_counts(
+                    open_replay_stream(spark, stream_dir), wm_str
+                ),
+                output_mode="append",
+            )
+            parts.append(
+                out.withColumn("delay_ms", F.lit(wm_ms).cast("long"))
+            )
+        u = parts[0].unionByName(parts[1])
+        return u.groupBy("delay_ms", "event_type").agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("n").alias("n_events"),
+            dsum(F.col("sum_value")).alias("sum_value"),
+        )
+
+    return watermark_sensitivity_hourly
+
+
+watermark_sensitivity_hourly = _register_watermark_sensitivity()
+
+
+# --------------------------------------------------------------------------
+# retention_quality_bridge
+# --------------------------------------------------------------------------
+
+RQ_BUCKETS = 4096
+RQ_BANDS = 4
+
+_SQL_RQB = f"""
+d AS (SELECT {h64_sql('doc_id', 'rqb')} % {RQ_BUCKETS} AS bucket,
+      len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents),
+bs AS (SELECT bucket, CAST(SUM(n_tok) AS BIGINT) AS sum_tok FROM d GROUP BY bucket),
+bd AS (SELECT bucket, ((rn - 1) * {RQ_BANDS}) // cnt AS band FROM
+       (SELECT bucket, row_number() OVER (ORDER BY sum_tok ASC, bucket ASC) AS rn,
+               COUNT(*) OVER () AS cnt FROM bs)),
+e AS (SELECT user_id, epoch_us(ts) // {WEEK_US} AS week,
+      {h64_sql('user_id', 'rqb')} % {RQ_BUCKETS} AS bucket FROM events),
+c AS (SELECT user_id, MIN(week) AS cohort FROM e GROUP BY user_id)
+"""
+
+
+def bucket_quality_bands(stats: DataFrame, n_bands: int = RQ_BANDS) -> DataFrame:
+    """(bucket, band): rank the bounded bucket-stats frame by token mass and
+    cut the rank range into ``n_bands`` equal slices with explicit integer
+    arithmetic — NOT ntile, so the remainder-distribution convention cannot
+    differ between engines. Total order: (sum_tok, bucket). The frame is at
+    most RQ_BUCKETS rows at any corpus scale, so the single-partition window
+    is a non-issue."""
+    w = Window.orderBy(F.asc("sum_tok"), F.asc("bucket"))
+    wall = Window.partitionBy()
+    tmp = stats.select(
+        "bucket",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    return tmp.select(
+        "bucket",
+        F.expr(f"CAST(((rn - 1) * {n_bands}) div cnt AS BIGINT)").alias("band"),
+    )
+
+
+@register(
+    "retention_quality_bridge",
+    oracle=(
+        f"WITH {_SQL_RQB} "
+        "SELECT c.cohort AS cohort_week, bd.band, "
+        "e.week - c.cohort AS week_offset, "
+        "COUNT(DISTINCT e.user_id) AS n_users, COUNT(*) AS n_events "
+        "FROM e JOIN c USING (user_id) JOIN bd USING (bucket) "
+        "GROUP BY cohort_week, band, week_offset"
+    ),
+    doc="Per-cohort retention joined to DOCUMENT-quality signals across "
+    "tables — the ROUND_QUEUE round-8 events x documents bridge: the "
+    "documents corpus is aggregated to a fixed 4096-bucket seeded-hash "
+    "frame of token mass, buckets are cut into 4 rank bands (explicit "
+    "integer rank arithmetic over the bounded frame — no ntile semantics "
+    "dependence), and each user links to a band through the same 4096-way "
+    "hash — the deterministic stand-in for a real user->content map, the "
+    "doc_freshness_by_event_time bridge pattern in reverse. Retention "
+    "(distinct users per cohort week x offset) then reads per quality "
+    "band. Scale: the band dim is <= 4096 rows (BROADCAST at any corpus "
+    "scale); every corpus-scale shuffle hashes user_id (first-week min and "
+    "the join-back are co-partitioned); the final aggregate is weeks x "
+    "bands x weeks.",
+    tags=("time", "curation", "join_broadcast"),
+)
+def retention_quality_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        (h64("doc_id", "rqb") % RQ_BUCKETS).alias("bucket"),
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("n_tok"),
+    )
+    bs = docs.groupBy("bucket").agg(F.sum("n_tok").alias("sum_tok"))
+    bd = bucket_quality_bands(bs, RQ_BANDS)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts_us") / F.lit(WEEK_US)).cast("long").alias("week"),
+        (h64("user_id", "rqb") % RQ_BUCKETS).alias("bucket"),
+    )
+    c = e.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        e.join(c, "user_id")
+        .join(F.broadcast(bd), "bucket")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            "band",
+            (F.col("week") - F.col("cohort")).alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# srp_recall_probe_curve
+# --------------------------------------------------------------------------
+
+SRP_QUERIES = 5
+SRP_K = 10
+#: The curve uses a COARSER code than the 16-bit production bucketing: 6
+#: planes -> 64 buckets, so bucket occupancy (and therefore the recall
+#: signal) is nonzero at every test SF. At production scale the bit width
+#: comes from the occupancy rule (plans/round6q.py); the probe-count trade
+#: measured here is width-independent.
+SRP_CURVE_PLANES = 6
+PROBE_SWEEP = (1, 3, 5, 7)
+
+_SQL_COS_QE = (
+    "list_dot_product(q.v, e.v) / (sqrt(list_dot_product(q.v, q.v)) * "
+    "sqrt(list_dot_product(e.v, e.v)))"
+)
+
+
+def _sql_curve_bucket_expr() -> str:
+    """DuckDB twin of hyperplane_buckets(..., SRP_CURVE_PLANES)."""
+    from ..operators.vector import hyperplane_signs
+
+    terms = []
+    for i, plane in enumerate(hyperplane_signs(SRP_CURVE_PLANES)):
+        lits = ", ".join(f"{x:.1f}" for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _sql_probe_list_indexed() -> str:
+    flips = ", ".join(
+        f"xor(bucket, {1 << i})" for i in range(SRP_CURVE_PLANES)
+    )
+    return f"[bucket, {flips}]"
+
+
+@register(
+    "srp_recall_probe_curve",
+    oracle=(
+        f"WITH {SQL_VECS}, "
+        f"eb AS (SELECT vec_id, v, {_sql_curve_bucket_expr()} AS bucket FROM e), "
+        f"qv AS (SELECT * FROM eb WHERE vec_id < {SRP_QUERIES}), "
+        f"qp AS (SELECT vec_id, v, unnest({_sql_probe_list_indexed()}) AS blk, "
+        f"unnest(range(0, {SRP_CURVE_PLANES + 1})) AS fi FROM qv), "
+        "cand AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, q.fi, "
+        f"{_SQL_COS_QE} AS cos FROM qp q JOIN eb e ON q.blk = e.bucket "
+        "WHERE q.vec_id <> e.vec_id), "
+        "bp AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        f"{_SQL_COS_QE} AS cos FROM qv q, e WHERE e.vec_id <> q.vec_id), "
+        "truth AS (SELECT query_id, neighbor_id FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id ASC) AS rk FROM bp) "
+        f"WHERE rk <= {SRP_K}), "
+        "tc AS (SELECT COUNT(*) AS n_truth FROM truth), "
+        f"sw AS (SELECT unnest([{', '.join(str(p) for p in PROBE_SWEEP)}]) "
+        "AS n_probes), "
+        "pc AS (SELECT s.n_probes, c.query_id, c.neighbor_id, c.cos "
+        "FROM sw s JOIN cand c ON c.fi < s.n_probes), "
+        "nc AS (SELECT n_probes, COUNT(*) AS n_candidates FROM pc "
+        "GROUP BY n_probes), "
+        "rk AS (SELECT n_probes, query_id, neighbor_id FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY n_probes, query_id "
+        "ORDER BY cos DESC, neighbor_id ASC) AS rn FROM pc) "
+        f"WHERE rn <= {SRP_K}), "
+        "h AS (SELECT rk.n_probes, COUNT(t.neighbor_id) AS n_hits FROM rk "
+        "LEFT JOIN truth t ON rk.query_id = t.query_id "
+        "AND rk.neighbor_id = t.neighbor_id GROUP BY rk.n_probes) "
+        "SELECT CAST(sw.n_probes AS BIGINT) AS n_probes, "
+        "COALESCE(nc.n_candidates, 0) AS n_candidates, "
+        "COALESCE(h.n_hits, 0) AS n_hits, "
+        + sql_round_stable(
+            "CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / tc.n_truth", 6
+        )
+        + " AS recall "
+        "FROM sw LEFT JOIN nc ON sw.n_probes = nc.n_probes "
+        "LEFT JOIN h ON sw.n_probes = h.n_probes CROSS JOIN tc"
+    ),
+    doc="Recall-vs-cost curve of SRP multiprobe search — the ROUND_QUEUE "
+    "round-8 item: recall@10 AND candidate count at 1/3/5/7 probes "
+    "(own bucket, then one-bit flips of the first 2/4/6 planes of a "
+    "6-bit code — coarse enough that occupancy is nonzero at every test "
+    "SF; production picks bits by the round6q occupancy rule), against "
+    "the brute-force cosine ground truth. ONE candidate pass at the "
+    "maximum probe set carries the flip index (each neighbor is hit by "
+    "at most one probe — probe buckets are pairwise distinct), and every "
+    "sweep point is a filter fi < P over it: no per-P re-join, the "
+    "domain_cap_sweep one-pass idiom applied to ANN tuning; the sweep "
+    "frame is the base of a left join so a probe level with zero "
+    "candidates still reports its row. Hits are provably monotone in P "
+    "(a candidate outranking a truth member under the total (cos, id) "
+    "order would itself be truth) — pinned as a unit test. The "
+    "brute-force side is the LABELED baseline (|Q| x corpus); the "
+    "candidate side touches only probed buckets.",
+    tags=("ann", "similarity_search", "lsh_band", "quality"),
+)
+def srp_recall_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = embedding_vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < SRP_QUERIES)
+    truth = persist_tracked(
+        cosine_topk(vecs, q, SRP_K).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+    )
+    vb = hyperplane_buckets(vecs, SRP_CURVE_PLANES).join(vecs, "vec_id")
+    qb = hyperplane_buckets(q, SRP_CURVE_PLANES).join(q, "vec_id")
+    probes = F.array(
+        F.col("bucket"),
+        *[F.expr(f"bucket ^ {1 << i}") for i in range(SRP_CURVE_PLANES)],
+    )
+    qp = qb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.posexplode(probes).alias("fi", "blk"),
+    )
+    c = vb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("blk"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    cand = (
+        qp.join(c, "blk")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "fi",
+            (F.expr(_dot("qv", "cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    pc = persist_tracked(
+        cand.select(
+            F.explode(F.array(*[F.lit(p) for p in PROBE_SWEEP])).alias(
+                "n_probes"
+            ),
+            "query_id",
+            "neighbor_id",
+            "fi",
+            "cos",
+        ).filter(F.col("fi") < F.col("n_probes"))
+    )
+    nc = pc.groupBy("n_probes").agg(F.count(F.lit(1)).alias("n_candidates"))
+    w = Window.partitionBy("n_probes", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    rk = pc.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= SRP_K
+    )
+    h = (
+        rk.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("n_probes")
+        .agg(F.count("hit").alias("n_hits"))
+    )
+    tc = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    sw = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in PROBE_SWEEP])).alias("n_probes")
+    )
+    return (
+        sw.join(nc, "n_probes", "left")
+        .join(h, "n_probes", "left")
+        .crossJoin(F.broadcast(tc))
+        .select(
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            round_stable(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_truth"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# lsh_recall_precision
+# --------------------------------------------------------------------------
+
+#: Truth threshold: exact trigram-shingle Jaccard >= 3/5 = 0.6 — the
+#: banding scheme's own s* (~(1/8)^(1/4)); compared cross-multiplied in
+#: integers so no float threshold exists anywhere.
+JACC_T_NUM, JACC_T_DEN = 3, 5
+
+#: Labeled evaluation slice for the exact-Jaccard truth: 500 docs (the
+#: minhash estimate queries' 40-doc slice holds no >=0.6 pair at the
+#: driver SFs — an all-zero measurement; 500 holds ~25). Constant-size at
+#: any corpus scale, so the all-pairs truth stays bounded.
+LSH_EVAL_LIMIT = 500
+
+_SQL_SHX_SLICE = f"""
+tarr AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents WHERE doc_id < {LSH_EVAL_LIMIT}),
+shx AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE []::VARCHAR[] END) AS shingle FROM tarr)),
+seeds AS (SELECT unnest(range({NUM_HASHES})) AS seed),
+sigs AS (SELECT doc_id, seed, MIN({_SQL_H64_SH}) AS mh
+         FROM shx CROSS JOIN seeds GROUP BY doc_id, seed)
+"""
+
+_SQL_LSH_TRUTH = f"""
+sz AS (SELECT doc_id, COUNT(*) AS s FROM shx GROUP BY doc_id),
+it AS (SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS inter
+       FROM shx a JOIN shx b USING (shingle) WHERE a.doc_id < b.doc_id
+       GROUP BY ka, kb),
+tr AS (SELECT ka, kb FROM it JOIN sz sa ON it.ka = sa.doc_id
+       JOIN sz sb ON it.kb = sb.doc_id
+       WHERE {JACC_T_DEN} * inter >= {JACC_T_NUM} * (sa.s + sb.s - inter)),
+tc AS (SELECT COUNT(*) AS n_truth FROM tr)
+"""
+
+
+@register(
+    "lsh_recall_precision",
+    oracle=(
+        f"WITH {_SQL_SHX_SLICE}, {_SQL_BANDS}, {_SQL_SCORED}, {_SQL_LSH_TRUTH} "
+        "SELECT stage, n_truth, n_pairs, n_hits, "
+        + sql_round_stable("CAST(n_hits AS DOUBLE) / NULLIF(n_truth, 0)", 6)
+        + " AS recall, "
+        + sql_round_stable("CAST(n_hits AS DOUBLE) / NULLIF(n_pairs, 0)", 6)
+        + " AS precision FROM ("
+        "SELECT 'candidates' AS stage, tc.n_truth, "
+        "(SELECT COUNT(*) FROM cand) AS n_pairs, "
+        "(SELECT COUNT(*) FROM cand JOIN tr ON cand.ka = tr.ka "
+        "AND cand.kb = tr.kb) AS n_hits FROM tc "
+        "UNION ALL "
+        "SELECT 'verified', tc.n_truth, (SELECT COUNT(*) FROM scored), "
+        "(SELECT COUNT(*) FROM scored JOIN tr ON scored.ka = tr.ka "
+        "AND scored.kb = tr.kb) FROM tc)"
+    ),
+    doc="Dedup-quality accounting for the MinHash-LSH chain: recall and "
+    "precision of the candidate stage (any band agrees) and the verified "
+    "stage (signature agreement >= 0.5) against EXACT trigram-shingle "
+    "Jaccard >= 0.6 ground truth — the ann_recall_ivf measurement pattern "
+    "applied to dedup, and the accounting that justifies the banding "
+    "parameters (8 bands x 4 rows -> s* ~ 0.6) before a 100 TB run. Truth "
+    "is computed on a LABELED constant-size all-pairs slice (doc_id < "
+    "500 — wide enough to hold ~25 true pairs at the driver SFs) via an "
+    "inverted-index equi-join with the integer cross-multiplied threshold "
+    "5*inter >= 3*union — no float Jaccard anywhere. Band signatures are "
+    "doc-local, so slice-LSH restricted to slice pairs equals corpus-LSH "
+    "restricted to the same pairs: the measurement is honest about the "
+    "production chain.",
+    tags=("lsh_band", "minhash_sig", "dedup", "quality"),
+)
+def lsh_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = persist_tracked(
+        _shingles(spark, sf_dir, distinct=True).filter(
+            F.col("doc_id") < LSH_EVAL_LIMIT
+        )
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    a = sh.select(F.col("doc_id").alias("ka"), "shingle")
+    b = sh.select(F.col("doc_id").alias("kb"), "shingle")
+    it = (
+        a.join(b, "shingle")
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sz.select(F.col("doc_id").alias("ka"), F.col("s").alias("sa"))
+    szb = sz.select(F.col("doc_id").alias("kb"), F.col("s").alias("sb"))
+    tr = persist_tracked(
+        it.join(F.broadcast(sza), "ka")
+        .join(F.broadcast(szb), "kb")
+        .filter(
+            F.lit(JACC_T_DEN) * F.col("inter")
+            >= F.lit(JACC_T_NUM)
+            * (F.col("sa") + F.col("sb") - F.col("inter"))
+        )
+        .select("ka", "kb")
+    )
+    sh_raw = _shingles(spark, sf_dir, distinct=False).filter(
+        F.col("doc_id") < LSH_EVAL_LIMIT
+    )
+    sigs = persist_tracked(
+        minhash_signatures(sh_raw, token_col="shingle", num_hashes=NUM_HASHES)
+    )
+    cand = persist_tracked(lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND)))
+    sa_ = sigs.select(F.col("doc_id").alias("ka"), "seed", F.col("mh").alias("mha"))
+    sb_ = sigs.select(F.col("doc_id").alias("kb"), "seed", F.col("mh").alias("mhb"))
+    scored = (
+        cand.join(sa_, "ka")
+        .join(sb_, ["kb", "seed"])
+        .groupBy("ka", "kb")
+        .agg(
+            (
+                F.sum((F.col("mha") == F.col("mhb")).cast("bigint"))
+                / F.lit(float(NUM_HASHES))
+            ).alias("est")
+        )
+        .filter(F.col("est") >= 0.5)
+        .select("ka", "kb")
+    )
+    tc = tr.agg(F.count(F.lit(1)).alias("n_truth"))
+
+    def stage_row(name: str, pairs: DataFrame) -> DataFrame:
+        joined = pairs.join(
+            tr.withColumn("t", F.lit(1)), ["ka", "kb"], "left"
+        )
+        return (
+            joined.agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.count("t").alias("n_hits"),
+            )
+            .crossJoin(F.broadcast(tc))
+            .select(
+                F.lit(name).alias("stage"), "n_truth", "n_pairs", "n_hits"
+            )
+        )
+
+    rows = stage_row("candidates", cand).unionByName(
+        stage_row("verified", scored)
+    )
+    recall = F.when(
+        F.col("n_truth") > 0, F.col("n_hits").cast("double") / F.col("n_truth")
+    )
+    precision = F.when(
+        F.col("n_pairs") > 0, F.col("n_hits").cast("double") / F.col("n_pairs")
+    )
+    return rows.select(
+        "stage",
+        "n_truth",
+        "n_pairs",
+        "n_hits",
+        round_stable(recall, 6).alias("recall"),
+        round_stable(precision, 6).alias("precision"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_threshold_sweep
+# --------------------------------------------------------------------------
+
+#: Score thresholds to sweep — all exactly-representable doubles spanning
+#: the classifier's score range on the synthetic corpus.
+QT_SWEEP = (-0.5, 0.0, 0.5, 1.0)
+
+#: The classifier score with the SAME parenthesization privacyq pins
+#: (IEEE operation order matches Spark bit for bit).
+_SQL_QT_Z = (
+    f"((({_W_BIAS}::DOUBLE + {_W_NTOK}::DOUBLE * n_tok) "
+    f"+ {_W_AVGLEN}::DOUBLE * avg_wlen) + {_W_STOP}::DOUBLE * n_stop)"
+)
+
+
+def _sql_qt_aggs() -> str:
+    cols = []
+    for i in range(len(QT_SWEEP)):
+        cols.append(
+            f"CAST(SUM(CASE WHEN z > t{i} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS kd{i}, "
+            f"CAST(SUM(CASE WHEN z > t{i} THEN n_tok ELSE 0 END) AS BIGINT) "
+            f"AS kt{i}"
+        )
+    return ", ".join(cols)
+
+
+def _sql_qt_oracle() -> str:
+    t_defs = ", ".join(
+        f"{t}::DOUBLE AS t{i}" for i, t in enumerate(QT_SWEEP)
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT {t}::DOUBLE AS threshold, kd{i} AS kept_docs, "
+        f"kt{i} AS kept_tokens, total_docs, total_tokens, "
+        + sql_round_stable(f"CAST(kd{i} AS DOUBLE) / total_docs", 6)
+        + " AS kept_frac FROM a"
+        for i, t in enumerate(QT_SWEEP)
+    )
+    return (
+        "WITH feats AS (SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, "
+        "CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_wlen, "
+        "CAST(len(regexp_extract_all(text, '\\bthe\\b')) AS BIGINT) AS n_stop "
+        "FROM documents), "
+        f"w AS (SELECT {t_defs}), "
+        f"sc AS (SELECT n_tok, {_SQL_QT_Z} AS z FROM feats CROSS JOIN w), "
+        "a AS (SELECT COUNT(*) AS total_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+        + _sql_qt_aggs()
+        + " FROM sc CROSS JOIN w) "
+        + selects
+    )
+
+
+@register(
+    "quality_threshold_sweep",
+    oracle=_sql_qt_oracle(),
+    doc="Keep-rate tuning curve of the quality classifier: the "
+    "quality_classifier_score model (same features, same weights, same "
+    "pinned IEEE parenthesization of the dot product) evaluated at four "
+    "keep thresholds in ONE corpus pass — per threshold, surviving docs "
+    "and token mass plus the keep fraction; the curve a curation pipeline "
+    "reads to pick the production cutoff for a target corpus size, "
+    "analogous to domain_cap_sweep for the domain cap. All sweep points "
+    "are conditional aggregates over the single score scan (no per-"
+    "threshold re-scan), stacked to 4 rows; thresholds are exactly-"
+    "representable doubles so the > comparisons are engine-identical. "
+    "Consistency with quality_classifier_score (kept at 0.0 == its "
+    "keep=true count) is pinned as a unit test. Map-only until the final "
+    "4-column global aggregate — the shape that runs at 100 TB as a pure "
+    "pass.",
+    tags=("quality", "curation", "filter_pred"),
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        (
+            F.length("text").cast("double")
+            / F.size(F.split(F.col("text"), " "))
+        ).alias("avg_wlen"),
+        F.regexp_count(F.col("text"), F.lit(r"\bthe\b"))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    z = (
+        (F.lit(_W_BIAS) + F.lit(_W_NTOK) * F.col("n_tok"))
+        + F.lit(_W_AVGLEN) * F.col("avg_wlen")
+    ) + F.lit(_W_STOP) * F.col("n_stop")
+    sc = feats.select("n_tok", z.alias("z"))
+    aggs = [
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    ]
+    for i, t in enumerate(QT_SWEEP):
+        aggs.append(
+            F.sum(F.when(F.col("z") > F.lit(t), 1).otherwise(0)).alias(f"kd{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("z") > F.lit(t), F.col("n_tok")).otherwise(0)
+            ).alias(f"kt{i}")
+        )
+    a = sc.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t}D AS DOUBLE), kd{i}, kt{i}" for i, t in enumerate(QT_SWEEP)
+    )
+    return a.select(
+        F.expr(
+            f"stack({len(QT_SWEEP)}, {stack_args}) "
+            "AS (threshold, kept_docs, kept_tokens)"
+        ),
+        "total_docs",
+        "total_tokens",
+    ).withColumn(
+        "kept_frac",
+        round_stable(
+            F.col("kept_docs").cast("double") / F.col("total_docs"), 6
+        ),
+    )

@@ -441,21 +441,12 @@ LATE_DELAY_MS = 7_200_000
 LATE_BUCKETS = 3
 
 
-def events_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three-file deterministic replay of the events table — the multi-batch
-    source that makes WATERMARK LATE-DATA SEMANTICS observable (a single-file
-    availableNow run is always one data batch, so nothing is ever late).
-
-    The table is split by ``h64(event_id, 'late') % 3`` into three parquet
-    files written under the scratch root with strictly increasing pinned
-    mtimes; ``maxFilesPerTrigger=1`` + ``latestFirst=false`` then replays
-    them as three ordered micro-batches (FileStreamSource orders by
-    modification time). Bucket 0 is "the bulk load", buckets 1 and 2 are
-    two straggler trickles that arrive after the watermark has moved.
-    Timestamps travel as ``ts_us`` longs (no parquet-timestamp re-encoding
-    ambiguity) and ``ts`` is rebuilt on the stream side. The split is a
-    3-pass write here for construction simplicity; a production replay
-    harness would write all shards in one partitionBy pass."""
+def events_replay_files(spark: SparkSession, sf_dir: str) -> str:
+    """Write (or rewrite) the three mtime-ordered replay files for
+    :func:`events_replay_stream` and return the stream directory. Split out
+    so a query comparing several watermark settings (plans/round11q.py
+    watermark_sensitivity_hourly) pays the 3-pass table write ONCE and opens
+    one independent stream per setting over the same files."""
     import glob
     import os
     import shutil
@@ -486,6 +477,13 @@ def events_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst = os.path.join(stream_dir, f"{b}.parquet")
         shutil.copy(src, dst)
         os.utime(dst, (1000.0 * (b + 1), 1000.0 * (b + 1)))
+    return stream_dir
+
+
+def open_replay_stream(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """Open a fresh file-replay stream over an :func:`events_replay_files`
+    directory (each call is an independent stream: its own file tracking,
+    its own watermark)."""
     schema = spark.read.parquet(stream_dir).schema
     sdf = (
         spark.readStream.schema(schema)
@@ -494,6 +492,24 @@ def events_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return sdf.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+
+def events_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-file deterministic replay of the events table — the multi-batch
+    source that makes WATERMARK LATE-DATA SEMANTICS observable (a single-file
+    availableNow run is always one data batch, so nothing is ever late).
+
+    The table is split by ``h64(event_id, 'late') % 3`` into three parquet
+    files written under the scratch root with strictly increasing pinned
+    mtimes; ``maxFilesPerTrigger=1`` + ``latestFirst=false`` then replays
+    them as three ordered micro-batches (FileStreamSource orders by
+    modification time). Bucket 0 is "the bulk load", buckets 1 and 2 are
+    two straggler trickles that arrive after the watermark has moved.
+    Timestamps travel as ``ts_us`` longs (no parquet-timestamp re-encoding
+    ambiguity) and ``ts`` is rebuilt on the stream side. The split is a
+    3-pass write here for construction simplicity; a production replay
+    harness would write all shards in one partitionBy pass."""
+    return open_replay_stream(spark, events_replay_files(spark, sf_dir))
 
 
 #: Inactivity gap for the watermark-evicted streaming sessionizer — same

@@ -68,6 +68,10 @@ BNLJ_OK = {
     "lloyd_convergence_curve",
     # |Q| x corpus labeled brute-force ground-truth side of the recall gate
     "ann_recall_ivf",
+    # |Q| x corpus labeled truth + 1-row n_truth broadcast (probe sweep)
+    "srp_recall_probe_curve",
+    # 1-row truth/stage-count scalar assemblies over the labeled slice
+    "lsh_recall_precision",
 }
 
 
