@@ -102,3 +102,4 @@ from . import fuzzydedupq  # noqa: F401
 from . import round9q  # noqa: F401
 from . import round10q  # noqa: F401
 from . import round11q  # noqa: F401
+from . import round12q  # noqa: F401

@@ -467,6 +467,31 @@ tc AS (SELECT COUNT(*) AS n_truth FROM tr)
 """
 
 
+def slice_pair_inter(spark: SparkSession, sf_dir: str):
+    """Labeled-slice exact set-overlap scaffolding shared by the dedup
+    quality-accounting queries (lsh_recall_precision here;
+    minhash_error_accounting in plans/round12q.py): distinct trigram
+    shingles of the ``doc_id < LSH_EVAL_LIMIT`` slice, per-doc set sizes,
+    and the inverted-index pair-intersection counts. Returns
+    (sh, sz, it) = ((doc_id, shingle), (doc_id, s), (ka, kb, inter))."""
+    sh = persist_tracked(
+        _shingles(spark, sf_dir, distinct=True).filter(
+            F.col("doc_id") < LSH_EVAL_LIMIT
+        )
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    a = sh.select(F.col("doc_id").alias("ka"), "shingle")
+    b = sh.select(F.col("doc_id").alias("kb"), "shingle")
+    it = (
+        a.join(b, "shingle")
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return sh, sz, it
+
+
+
 @register(
     "lsh_recall_precision",
     oracle=(
@@ -501,20 +526,7 @@ tc AS (SELECT COUNT(*) AS n_truth FROM tr)
     tags=("lsh_band", "minhash_sig", "dedup", "quality"),
 )
 def lsh_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = persist_tracked(
-        _shingles(spark, sf_dir, distinct=True).filter(
-            F.col("doc_id") < LSH_EVAL_LIMIT
-        )
-    )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
-    a = sh.select(F.col("doc_id").alias("ka"), "shingle")
-    b = sh.select(F.col("doc_id").alias("kb"), "shingle")
-    it = (
-        a.join(b, "shingle")
-        .filter(F.col("ka") < F.col("kb"))
-        .groupBy("ka", "kb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    sh, sz, it = slice_pair_inter(spark, sf_dir)
     sza = sz.select(F.col("doc_id").alias("ka"), F.col("s").alias("sa"))
     szb = sz.select(F.col("doc_id").alias("kb"), F.col("s").alias("sb"))
     tr = persist_tracked(

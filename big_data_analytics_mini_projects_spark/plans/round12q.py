@@ -1,0 +1,492 @@
+"""Round-7-continuation-authored queries for the ROUND-9 driver window
+(the established forward-batch path: registered at the catalog TAIL so the
+live round-7 rotation stays byte-identical; covered from day one by the
+local differential gate and the 10x/100x ledger, first driver verdict when
+round 9's window rotates). These five count against ROUND 9's <= 15
+new-query budget (10 left after them; ROUND_QUEUE round-9 note).
+
+The batch extends the tuning-curve / quality-accounting surface the round-8
+batches established — every query is a measurement a 100 TB pipeline runs
+BEFORE committing to a parameter:
+
+- ``pack_efficiency_sweep``       — pad-waste vs context length (512/1024/
+  2048/4096) for concat-then-chunk packing: per-shard totals only, the
+  whole sweep from one bounded aggregate.
+- ``temperature_mix_rates``       — per-source sampling shares under
+  temperature alpha = 1 / 0.5 / 0.25 (sqrt-composed powers only, so both
+  engines' correctly-rounded sqrt keeps the weights bit-identical).
+- ``cluster_size_histogram``      — near-dup cluster size distribution
+  (including singletons by subtraction) from the connected-components
+  labels: the dedup impact report.
+- ``minhash_error_accounting``    — |MinHash estimate - exact Jaccard|
+  error by true-similarity decile on the labeled slice: the signature-
+  budget (32 hashes) justification.
+- ``dedup_threshold_sensitivity`` — near-dup pair and affected-doc counts
+  at est >= 16/20/24/28 out of 32: the dedup-threshold tuning curve, with
+  the 16/32 point pinned equal to dedup_minhash_lsh's row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..caching import persist_tracked
+from ..functions.text import round_stable, sql_round_stable
+from ..operators.aggregates import dsum, sql_dsum
+from ..operators.similarity import connected_components, minhash_signatures
+from ..sources.tables import load_table, spread
+from .registry import register
+from .round11q import LSH_EVAL_LIMIT, _SQL_SHX_SLICE, slice_pair_inter
+from .similarityq import (
+    NUM_HASHES,
+    _SQL_BANDS,
+    _SQL_SCORED,
+    _SQL_SH_SIGS,
+    _SQL_SH_SIGS_WIDE,
+    _scored_pairs,
+    _shingles,
+)
+
+# --------------------------------------------------------------------------
+# pack_efficiency_sweep
+# --------------------------------------------------------------------------
+
+CTX_SWEEP = (512, 1024, 2048, 4096)
+PACK_SHARD = 200  # docs per packing shard — pack_sequences_2048's constant
+
+
+def _sql_pack_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({c} AS BIGINT) AS ctx, COUNT(*) AS n_shards, "
+        f"CAST(SUM((t + {c} - 1) // {c}) AS BIGINT) AS n_seqs, "
+        "CAST(SUM(t) AS BIGINT) AS total_tokens, "
+        f"CAST(SUM((t + {c} - 1) // {c}) * {c} - SUM(t) AS BIGINT) "
+        "AS pad_tokens, "
+        + sql_round_stable(
+            f"CAST(SUM(t) AS DOUBLE) / (SUM((t + {c} - 1) // {c}) * {c})", 6
+        )
+        + " AS efficiency FROM s"
+        for c in CTX_SWEEP
+    )
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "len(list_filter(string_split(lower(text), ' '), x -> x <> '')) "
+        "AS n_tok FROM documents), "
+        f"s AS (SELECT doc_id // {PACK_SHARD} AS shard, "
+        "CAST(SUM(n_tok) AS BIGINT) AS t FROM d GROUP BY shard) "
+        + selects
+    )
+
+
+@register(
+    "pack_efficiency_sweep",
+    oracle=_sql_pack_oracle(),
+    doc="Packing-efficiency sensitivity to the context length: for concat-"
+    "then-chunk packing within bounded 200-doc shards "
+    "(pack_sequences_2048's construction), the pad waste is EXACTLY the "
+    "per-shard tail padding ceil(T/C)*C - T — so the whole 512/1024/2048/"
+    "4096 sweep needs only per-shard token totals: one corpus tokenize "
+    "pass, one shard-keyed aggregate (bounded partitions by construction), "
+    "then a shards-frame rollup per context length. Reports sequences "
+    "produced, pad tokens, and packing efficiency per C — the curve that "
+    "decides whether a longer context is worth the extra padding at a "
+    "fixed shard size. All counts integer; efficiency is the only float "
+    "(exact-integer quotient, stably rounded).",
+    tags=("curation", "pipeline"),
+)
+def pack_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.size(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    s = docs.groupBy(F.expr(f"doc_id div {PACK_SHARD}").alias("shard")).agg(
+        F.sum("n_tok").alias("t")
+    )
+    return pack_efficiency_core(s)
+
+
+def pack_efficiency_core(s: DataFrame) -> DataFrame:
+    """Core of pack_efficiency_sweep over any (shard, t) totals frame."""
+    e = s.select(
+        F.explode(F.array(*[F.lit(c).cast("long") for c in CTX_SWEEP])).alias(
+            "ctx"
+        ),
+        "t",
+    )
+    return (
+        e.groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum(F.expr("(t + ctx - 1) div ctx")).alias("n_seqs"),
+            F.sum("t").alias("total_tokens"),
+        )
+        .select(
+            "ctx",
+            "n_shards",
+            "n_seqs",
+            "total_tokens",
+            (F.col("n_seqs") * F.col("ctx") - F.col("total_tokens")).alias(
+                "pad_tokens"
+            ),
+            round_stable(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_seqs") * F.col("ctx")),
+                6,
+            ).alias("efficiency"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# temperature_mix_rates
+# --------------------------------------------------------------------------
+
+#: Mixing temperatures — ONLY sqrt-composed powers (1, 1/2, 1/4): IEEE
+#: sqrt is correctly rounded in both engines, pow(x, 0.7) is not.
+ALPHA_SWEEP = (1.0, 0.5, 0.25)
+
+#: Token budget for the expected-tokens column: half the corpus.
+MIX_BUDGET_DEN = 2
+
+
+def _sql_alpha_w(alpha: float, m: str) -> str:
+    if alpha == 1.0:
+        return f"CAST({m} AS DOUBLE)"
+    if alpha == 0.5:
+        return sql_round_stable(f"sqrt(CAST({m} AS DOUBLE))", 6)
+    if alpha == 0.25:
+        return sql_round_stable(f"sqrt(sqrt(CAST({m} AS DOUBLE)))", 6)
+    raise ValueError(alpha)
+
+
+def _sql_temperature_oracle() -> str:
+    blocks = " UNION ALL ".join(
+        f"SELECT {a}::DOUBLE AS alpha, source, m, {_sql_alpha_w(a, 'm')} AS w "
+        "FROM tot"
+        for a in ALPHA_SWEEP
+    )
+    return (
+        "WITH d AS (SELECT source, "
+        "len(list_filter(string_split(lower(text), ' '), x -> x <> '')) "
+        "AS n_tok FROM documents), "
+        "tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS m FROM d "
+        "GROUP BY source), "
+        f"aw AS ({blocks}), "
+        f"den AS (SELECT alpha, {sql_dsum('w', 6)} AS denom, "
+        "CAST(SUM(m) AS BIGINT) AS total FROM aw GROUP BY alpha) "
+        "SELECT aw.alpha, aw.source, aw.m AS src_tok, "
+        + sql_round_stable("aw.w / den.denom", 6)
+        + " AS share, "
+        + sql_round_stable(
+            f"{sql_round_stable('aw.w / den.denom', 6)} "
+            f"* (den.total // {MIX_BUDGET_DEN})",
+            2,
+        )
+        + " AS exp_tokens "
+        "FROM aw JOIN den ON aw.alpha = den.alpha"
+    )
+
+
+@register(
+    "temperature_mix_rates",
+    oracle=_sql_temperature_oracle(),
+    doc="Temperature-based corpus mixing shares (the multilingual/multi-"
+    "source pretraining sampling rule p_s ~ tokens_s^alpha) at alpha = "
+    "1 / 0.5 / 0.25, with the expected token draw under a half-corpus "
+    "budget — the flattening curve that shows how much low-resource "
+    "sources gain as temperature drops. Cross-engine exactness without "
+    "integer-only arithmetic: the sweep uses ONLY sqrt-composed powers "
+    "(IEEE sqrt is correctly rounded in both engines, libm pow is not), "
+    "weights are stably rounded to 6 decimals BEFORE the exact decimal "
+    "denominator sum, so partition order cannot perturb any share. "
+    "Everything after the per-source token totals runs on the sources "
+    "DIMENSION frame (|sources| x 3 rows).",
+    tags=("curation", "sampling", "pipeline"),
+)
+def temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "source",
+        F.size(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    tot = docs.groupBy("source").agg(F.sum("n_tok").alias("m"))
+    m_dbl = F.col("m").cast("double")
+    aw = None
+    for a in ALPHA_SWEEP:
+        if a == 1.0:
+            w = m_dbl
+        elif a == 0.5:
+            w = round_stable(F.sqrt(m_dbl), 6)
+        else:
+            w = round_stable(F.sqrt(F.sqrt(m_dbl)), 6)
+        part = tot.select(
+            F.lit(a).alias("alpha"), "source", "m", w.alias("w")
+        )
+        aw = part if aw is None else aw.unionByName(part)
+    aw = persist_tracked(aw)
+    den = aw.groupBy("alpha").agg(
+        dsum(F.col("w"), 6).alias("denom"), F.sum("m").alias("total")
+    )
+    share = round_stable(F.col("w") / F.col("denom"), 6)
+    return (
+        aw.join(F.broadcast(den), "alpha")
+        .select(
+            "alpha",
+            "source",
+            F.col("m").alias("src_tok"),
+            share.alias("share"),
+            round_stable(
+                share * F.expr(f"total div {MIX_BUDGET_DEN}"), 2
+            ).alias("exp_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# cluster_size_histogram
+# --------------------------------------------------------------------------
+
+#: CC label CTEs over the scored pairs (mirrors similarityq's cluster tail;
+#: MAT variant for the scale form — same ols_words_pvalues lesson).
+_SQL_CC_LAB = (
+    "edges AS (SELECT ka AS a, kb AS b FROM scored "
+    "UNION SELECT kb, ka FROM scored), "
+    "nodes AS (SELECT DISTINCT a AS n FROM edges), "
+    "reach(n, m) AS (SELECT n, n FROM nodes UNION "
+    "SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a), "
+    "lab AS (SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n)"
+)
+_SQL_CC_LAB_MAT = _SQL_CC_LAB.replace(
+    "edges AS (SELECT", "edges AS MATERIALIZED (SELECT", 1
+)
+assert _SQL_CC_LAB_MAT != _SQL_CC_LAB
+
+_SQL_HIST_TAIL = (
+    "cs AS (SELECT cluster, COUNT(*) AS size FROM lab GROUP BY cluster), "
+    "h AS (SELECT size, COUNT(*) AS n_clusters FROM cs GROUP BY size) "
+    "SELECT CAST(1 AS BIGINT) AS size, "
+    "(SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lab) "
+    "AS n_clusters "
+    "UNION ALL SELECT size, n_clusters FROM h"
+)
+
+
+@register(
+    "cluster_size_histogram",
+    oracle=(
+        f"WITH RECURSIVE {_SQL_SH_SIGS}, {_SQL_BANDS}, {_SQL_SCORED}, "
+        f"{_SQL_CC_LAB}, {_SQL_HIST_TAIL}"
+    ),
+    scale_oracle=(
+        f"WITH RECURSIVE {_SQL_SH_SIGS_WIDE}, {_SQL_BANDS}, {_SQL_SCORED}, "
+        f"{_SQL_CC_LAB_MAT}, {_SQL_HIST_TAIL}"
+    ),
+    doc="Near-dup cluster size distribution — the dedup IMPACT report "
+    "(how much of the corpus sits in 2-doc pairs vs big boilerplate "
+    "blobs, and how many docs a canonicalize-and-drop pass would remove): "
+    "exact size histogram of the connected components over the scored "
+    "MinHash-LSH pairs (dedup_clusters' labels, same CC operator), with "
+    "the singleton count recovered by subtraction (corpus total minus "
+    "labeled nodes — no join against the full corpus). Result rows are "
+    "bounded by the largest cluster size; everything downstream of the CC "
+    "labels is dimension-scale. Sum(size x n_clusters) == corpus doc "
+    "count is pinned as a unit test.",
+    tags=("dedup", "graph", "quality"),
+)
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _scored_pairs(spark, sf_dir)
+    lab = persist_tracked(connected_components(pairs))
+    cs = lab.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    h = cs.groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    tot = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    inc = lab.agg(F.count(F.lit(1)).alias("n_in"))
+    singletons = tot.crossJoin(F.broadcast(inc)).select(
+        F.lit(1).cast("long").alias("size"),
+        (F.col("n_docs") - F.col("n_in")).alias("n_clusters"),
+    )
+    return singletons.unionByName(h)
+
+
+# --------------------------------------------------------------------------
+# minhash_error_accounting
+# --------------------------------------------------------------------------
+
+
+@register(
+    "minhash_error_accounting",
+    oracle=(
+        f"WITH {_SQL_SHX_SLICE}, "
+        "sz AS (SELECT doc_id, COUNT(*) AS s FROM shx GROUP BY doc_id), "
+        "it AS (SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS inter "
+        "FROM shx a JOIN shx b USING (shingle) WHERE a.doc_id < b.doc_id "
+        "GROUP BY ka, kb), "
+        "pu AS (SELECT ka, kb, inter, sa.s + sb.s - inter AS un FROM it "
+        "JOIN sz sa ON it.ka = sa.doc_id JOIN sz sb ON it.kb = sb.doc_id), "
+        "ag AS (SELECT pu.ka, pu.kb, inter, un, "
+        "SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS agree "
+        "FROM pu JOIN sigs sa ON pu.ka = sa.doc_id "
+        "JOIN sigs sb ON pu.kb = sb.doc_id AND sa.seed = sb.seed "
+        "GROUP BY pu.ka, pu.kb, inter, un), "
+        "er AS (SELECT (10 * inter) // un AS jac_band, "
+        f"CAST(abs(agree * un - {NUM_HASHES} * inter) AS DOUBLE) "
+        f"/ ({NUM_HASHES} * un) AS err FROM ag) "
+        "SELECT jac_band, COUNT(*) AS n_pairs, "
+        + sql_round_stable(
+            sql_dsum(sql_round_stable("err", 6), 6) + " / COUNT(*)", 6
+        )
+        + " AS mean_abs_err, "
+        + sql_round_stable("MAX(err)", 6)
+        + " AS max_abs_err FROM er GROUP BY jac_band"
+    ),
+    doc="MinHash estimator error accounting on the labeled slice: "
+    "|signature agreement/32 - exact Jaccard| summarized by true-"
+    "similarity decile — the measurement that justifies (or resizes) the "
+    "32-hash signature budget before a 100 TB run, and the companion to "
+    "lsh_recall_precision's capture-side accounting. Every quantity is an "
+    "exact rational pushed through one correctly-rounded double division "
+    "(|agree*union - 32*inter| / (32*union)); the band key is pure "
+    "integer arithmetic; the mean is a stably-rounded exact-decimal sum, "
+    "so partition order cannot move any output bit. Cost is bounded by "
+    "the constant 500-doc slice at any corpus scale.",
+    tags=("minhash_sig", "dedup", "quality"),
+)
+def minhash_error_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, sz, it = slice_pair_inter(spark, sf_dir)
+    sza = sz.select(F.col("doc_id").alias("ka"), F.col("s").alias("sa"))
+    szb = sz.select(F.col("doc_id").alias("kb"), F.col("s").alias("sb"))
+    pu = (
+        it.join(F.broadcast(sza), "ka")
+        .join(F.broadcast(szb), "kb")
+        .select(
+            "ka", "kb", "inter",
+            (F.col("sa") + F.col("sb") - F.col("inter")).alias("un"),
+        )
+    )
+    sh_raw = _shingles(spark, sf_dir, distinct=False).filter(
+        F.col("doc_id") < LSH_EVAL_LIMIT
+    )
+    sigs = minhash_signatures(sh_raw, token_col="shingle", num_hashes=NUM_HASHES)
+    sa = sigs.select(F.col("doc_id").alias("ka"), "seed", F.col("mh").alias("mha"))
+    sb = sigs.select(F.col("doc_id").alias("kb"), "seed", F.col("mh").alias("mhb"))
+    ag = (
+        pu.join(sa, "ka")
+        .join(sb, ["kb", "seed"])
+        .groupBy("ka", "kb", "inter", "un")
+        .agg(
+            F.sum((F.col("mha") == F.col("mhb")).cast("bigint")).alias("agree")
+        )
+    )
+    er = ag.select(
+        F.expr("(10 * inter) div un").alias("jac_band"),
+        (
+            F.abs(
+                F.col("agree") * F.col("un") - NUM_HASHES * F.col("inter")
+            ).cast("double")
+            / (NUM_HASHES * F.col("un"))
+        ).alias("err"),
+    )
+    return er.groupBy("jac_band").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        round_stable(
+            dsum(round_stable(F.col("err"), 6), 6) / F.count(F.lit(1)), 6
+        ).alias("mean_abs_err"),
+        round_stable(F.max("err"), 6).alias("max_abs_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_threshold_sensitivity
+# --------------------------------------------------------------------------
+
+#: Agreement-count thresholds out of NUM_HASHES=32 — exact multiples of
+#: 1/32, so the compare is integer in both engines. Starts at the scored
+#: chain's own 0.5 floor; the upper points sit in the distribution's
+#: actual cliff (the synthetic corpus's near-dups are near-exact, agree
+#: >= 29, so mid-range thresholds would all read identically).
+AGREE_SWEEP = (16, 30, 31, 32)
+
+
+def _sql_threshold_oracle(materialized: bool = False) -> str:
+    # ``ag`` is referenced by two downstream aggregations; the scale form
+    # MATERIALIZES it so DuckDB evaluates the sigs->bands->scored chain
+    # once, not per reference (the ols_words_pvalues lesson — the scalar-
+    # subquery first draft of this oracle re-evaluated the chain 8x and
+    # took 170 s at 10x).
+    mat = "MATERIALIZED " if materialized else ""
+    ks = ", ".join(str(k) for k in AGREE_SWEEP)
+    return (
+        f"WITH {_SQL_SH_SIGS}, {_SQL_BANDS}, {_SQL_SCORED}, "
+        f"ag AS {mat}(SELECT ka, kb, "
+        f"CAST(est * {NUM_HASHES} AS BIGINT) AS agree FROM scored), "
+        f"sw AS (SELECT unnest([{ks}]) AS k), "
+        "flt AS (SELECT k, ka, kb FROM sw JOIN ag ON agree >= k), "
+        "np AS (SELECT k, COUNT(*) AS n_pairs FROM flt GROUP BY k), "
+        "nd AS (SELECT k, COUNT(DISTINCT d) AS n_dup_docs FROM "
+        "(SELECT k, unnest([ka, kb]) AS d FROM flt) GROUP BY k) "
+        f"SELECT k/{NUM_HASHES} AS threshold, n_pairs, n_dup_docs "
+        "FROM np JOIN nd USING (k)"
+    )
+
+
+def _sql_threshold_scale_oracle() -> str:
+    out = _sql_threshold_oracle(materialized=True).replace(
+        _SQL_SH_SIGS, _SQL_SH_SIGS_WIDE, 1
+    )
+    assert out != _sql_threshold_oracle()  # make_sf1 ADVICE pattern
+    return out
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=_sql_threshold_oracle(),
+    scale_oracle=_sql_threshold_scale_oracle(),
+    doc="Dedup-threshold tuning curve: near-dup pair count and affected "
+    "document count at signature-agreement thresholds 16/30/31/32 out of "
+    "32 over the full-corpus scored MinHash-LSH chain — how much the "
+    "dedup pass would touch as the similarity bar rises, the curve read "
+    "before fixing a production threshold (points placed in the "
+    "distribution's cliff: this corpus's near-dups are near-exact, so "
+    "mid-range thresholds all read identically). Thresholds are exact "
+    "multiples of 1/32 so every compare is integer (agree >= k) in both "
+    "engines; the 16/32 point is pinned equal to dedup_minhash_lsh's row "
+    "count as a unit test. One pass over the scored pairs (already "
+    "bounded by LSH candidacy) feeds all four points as conditional "
+    "aggregates; the distinct-doc counts explode pair endpoints only "
+    "(2 x pairs rows).",
+    tags=("dedup", "lsh_band", "quality"),
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = persist_tracked(
+        _scored_pairs(spark, sf_dir).select(
+            "ka",
+            "kb",
+            (F.col("est") * NUM_HASHES).cast("long").alias("agree"),
+        )
+    )
+    e = scored.select(
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in AGREE_SWEEP])
+        ).alias("k"),
+        "ka",
+        "kb",
+        "agree",
+    ).filter(F.col("agree") >= F.col("k"))
+    np_ = e.groupBy("k").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd = (
+        e.select("k", F.explode(F.array("ka", "kb")).alias("d"))
+        .groupBy("k")
+        .agg(F.countDistinct("d").alias("n_dup_docs"))
+    )
+    return (
+        np_.join(nd, "k")
+        .select(
+            (F.col("k") / F.lit(float(NUM_HASHES))).alias("threshold"),
+            "n_pairs",
+            "n_dup_docs",
+        )
+    )

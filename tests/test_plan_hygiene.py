@@ -72,6 +72,8 @@ BNLJ_OK = {
     "srp_recall_probe_curve",
     # 1-row truth/stage-count scalar assemblies over the labeled slice
     "lsh_recall_precision",
+    # 1-row corpus-total x labeled-node-count singleton subtraction
+    "cluster_size_histogram",
 }
 
 
