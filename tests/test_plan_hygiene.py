@@ -168,6 +168,11 @@ def test_minhash_simhash_no_scatter_exchange(spark, sf_dir):
         minhash_signatures,
         simhash_values,
     )
+
+    # An earlier test may have left the IDENTICAL signature frame cached
+    # (round12q's _scored_pairs persists it); a cache hit rewrites the
+    # plan to InMemoryTableScan and the exchange census below goes blind.
+    spark.catalog.clearCache()
     from big_data_analytics_mini_projects_spark.plans.similarityq import (
         NUM_HASHES,
         _shingles,
