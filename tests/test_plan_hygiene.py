@@ -259,3 +259,44 @@ def test_round10q_shapes_pinned(spark, sf_dir):
     plan = vg._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert not any(e.startswith("doc_id#") for e in exchanges), exchanges
+
+
+def test_round11q_round12q_shapes_pinned(spark, sf_dir):
+    """Pin the round11q/round12q scale shapes (the round10q-pin pattern).
+    (a) retention_quality_bridge: every corpus-scale exchange hashes
+    user_id or bucket; the band dim rides a BroadcastHashJoin (never
+    SortMerge); the only other exchanges serve the final bounded
+    (cohort, band, offset) aggregate. (b) quality_threshold_sweep and
+    pack_efficiency_sweep run without any rank/analytic Window (the
+    sweeps are conditional aggregates / closed forms, not re-ranks).
+    (c) srp_recall_probe_curve ranks once per (n_probes, query) over ONE
+    flip-indexed candidate pass — no per-probe re-join of the corpus
+    (the vectors table is scanned a bounded number of times)."""
+    import re
+
+    spark.catalog.clearCache()
+
+    rb = QUERIES["retention_quality_bridge"].build(spark, sf_dir)
+    plan = rb._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or "user_id" in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    corpus_keys = [
+        e for e in exchanges
+        if not (e.startswith("cohort#") or e.startswith("bucket#"))
+    ]
+    assert all(e.startswith("user_id#") for e in corpus_keys), exchanges
+
+    for name in ("quality_threshold_sweep", "pack_efficiency_sweep"):
+        df = QUERIES[name].build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "RunningWindowFunction" not in plan, name
+        assert not re.search(r"\bWindow ", plan), name
+
+    sc = QUERIES["srp_recall_probe_curve"].build(spark, sf_dir)
+    plan = sc._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # a CONSTANT number of vectors-table scans (truth pass, bucket/vector
+    # sides of the candidate join, query subsets — 12 on Spark 4), crucially
+    # independent of the probe count: a per-probe re-join would scale scans
+    # with len(PROBE_SWEEP)
+    assert plan.count("Scan parquet") <= 12, plan.count("Scan parquet")
