@@ -3,7 +3,7 @@
 live round-7 rotation stays byte-identical; covered from day one by the
 local differential gate and the 10x/100x ledger, first driver verdict when
 round 9's window rotates). These five count against ROUND 9's <= 15
-new-query budget (10 left after them; ROUND_QUEUE round-9 note).
+new-query budget (9 left after them; ROUND_QUEUE round-9 note).
 
 The batch extends the tuning-curve / quality-accounting surface the round-8
 batches established — every query is a measurement a 100 TB pipeline runs
@@ -22,8 +22,12 @@ BEFORE committing to a parameter:
   error by true-similarity decile on the labeled slice: the signature-
   budget (32 hashes) justification.
 - ``dedup_threshold_sensitivity`` — near-dup pair and affected-doc counts
-  at est >= 16/20/24/28 out of 32: the dedup-threshold tuning curve, with
+  at est >= 16/30/31/32 out of 32: the dedup-threshold tuning curve, with
   the 16/32 point pinned equal to dedup_minhash_lsh's row count.
+- ``banded_width_recall``         — capture rate and candidate cost of the
+  banded-SRP embedding-dedup blocking stage at 2/4/6/8 bits per band,
+  against exact all-pairs cosine truth on a constant slice: the measured
+  justification for the occupancy-rule adaptive width.
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ from ..operators.similarity import connected_components, minhash_signatures
 from ..sources.tables import load_table, spread
 from .registry import register
 from .round11q import LSH_EVAL_LIMIT, _SQL_SHX_SLICE, slice_pair_inter
+from .shared import embedding_vectors
 from .similarityq import (
     NUM_HASHES,
     _SQL_BANDS,
@@ -489,4 +494,181 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
             "n_dup_docs",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# banded_width_recall
+# --------------------------------------------------------------------------
+
+#: Band widths to sweep (bits per band, 4 bands each) and the evaluation
+#: slice: 500 vectors keeps the all-pairs cosine truth bounded at any
+#: corpus scale (the lsh_recall_precision construction for embeddings).
+BW_SWEEP = (2, 4, 6, 8)
+BW_BANDS = 4
+EMB_EVAL_LIMIT = 500
+
+#: Same near-duplicate threshold as the embedding dedup family
+#: (plans/vectorq.NEAR_MIN_COS — imported to stay pinned together).
+from .vectorq import NEAR_MIN_COS  # noqa: E402
+
+_SQL_COS_AB = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+    "sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def _sql_band_bucket(width: int, band: int) -> str:
+    """DuckDB twin of operators/vector.banded_bucket_exprs: band ``band``
+    of a ``width``-bit code packs sign bits of planes
+    [band*width, (band+1)*width)."""
+    from ..operators.vector import hyperplane_signs
+
+    signs = hyperplane_signs(BW_BANDS * width)
+    terms = []
+    for i in range(width):
+        lits = ", ".join(f"{x:.1f}" for x in signs[band * width + i])
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _sql_banded_width_oracle() -> str:
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        f"WHERE vec_id < {EMB_EVAL_LIMIT})",
+        "tp AS (SELECT a.vec_id AS ka, b.vec_id AS kb FROM e a, e b "
+        f"WHERE a.vec_id < b.vec_id AND {_SQL_COS_AB} >= {NEAR_MIN_COS})",
+        "tc AS (SELECT COUNT(*) AS n_truth FROM tp)",
+    ]
+    selects = []
+    for w in BW_SWEEP:
+        bands = " UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, {_sql_band_bucket(w, b)} AS bucket "
+            "FROM e"
+            for b in range(BW_BANDS)
+        )
+        parts.append(f"bb{w} AS ({bands})")
+        parts.append(
+            f"cand{w} AS (SELECT DISTINCT a.vec_id AS ka, b.vec_id AS kb "
+            f"FROM bb{w} a JOIN bb{w} b USING (band, bucket) "
+            "WHERE a.vec_id < b.vec_id)"
+        )
+        selects.append(
+            f"SELECT CAST({w} AS BIGINT) AS band_bits, tc.n_truth, "
+            f"(SELECT COUNT(*) FROM cand{w}) AS n_cand, "
+            f"(SELECT COUNT(*) FROM cand{w} c JOIN tp "
+            "ON c.ka = tp.ka AND c.kb = tp.kb) AS n_hits FROM tc"
+        )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT band_bits, n_truth, n_cand, n_hits, "
+        + sql_round_stable("CAST(n_hits AS DOUBLE) / NULLIF(n_truth, 0)", 6)
+        + " AS recall, "
+        + sql_round_stable("CAST(n_hits AS DOUBLE) / NULLIF(n_cand, 0)", 6)
+        + " AS precision FROM ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
+
+
+@register(
+    "banded_width_recall",
+    oracle=_sql_banded_width_oracle(),
+    doc="Band-width recall/cost curve for the banded-SRP embedding dedup "
+    "blocking stage: capture rate (vs the exact all-pairs cosine >= 0.35 "
+    "truth) and candidate count at 2/4/6/8 bits per band, 4 bands — the "
+    "MEASURED counterpart of the capture formula 1-(1-p^bits)^bands in "
+    "operators/vector.bucketed_near_pairs and the empirical justification "
+    "for the round-6 occupancy-rule ADAPTIVE width "
+    "(dedup_embedding_bucketed): wider bands collapse the candidate bill "
+    "but shed recall, and this query shows exactly how fast on the real "
+    "embedding geometry. Evaluated on a constant 500-vector labeled slice "
+    "(the lsh_recall_precision construction), so the all-pairs truth and "
+    "every per-width bucket join are bounded at ANY corpus scale — the "
+    "affordable standing regression gate for retuning the width ladder. "
+    "Buckets are integer sums of sign tests on identical dot products, so "
+    "capture sets are bit-identical across engines; recall is provably "
+    "non-increasing in the width (band b's w-bit bucket refines a "
+    "coarser prefix only in the plane-index sense, and is pinned "
+    "empirically monotone in tests/test_round12q.py).",
+    tags=("embedding", "dedup", "lsh_band", "quality"),
+)
+def banded_width_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import banded_bucket_exprs
+
+    vecs = persist_tracked(
+        embedding_vectors(spark, sf_dir).filter(
+            F.col("vec_id") < EMB_EVAL_LIMIT
+        )
+    )
+    a = vecs.select(F.col("vec_id").alias("ka"), F.col("v").alias("va"),
+                    F.col("norm").alias("na"))
+    b = vecs.select(F.col("vec_id").alias("kb"), F.col("v").alias("vb"),
+                    F.col("norm").alias("nb"))
+    from ..operators.vector import _dot as _dot_expr
+
+    truth = persist_tracked(
+        a.crossJoin(b)
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(
+            (F.expr(_dot_expr("va", "vb")) / (F.col("na") * F.col("nb")))
+            >= NEAR_MIN_COS
+        )
+        .select("ka", "kb")
+    )
+    tc = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+
+    rows = None
+    for w in BW_SWEEP:
+        exprs = banded_bucket_exprs(BW_BANDS, w)
+        bb = F.array(
+            *[
+                F.struct(F.lit(i).alias("band"), e.alias("bucket"))
+                for i, e in enumerate(exprs)
+            ]
+        )
+        vb = vecs.select("vec_id", F.explode(bb).alias("bb")).select(
+            "vec_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        ca = vb.select("band", "bucket", F.col("vec_id").alias("ka"))
+        cb = vb.select("band", "bucket", F.col("vec_id").alias("kb"))
+        cand = (
+            ca.join(cb, ["band", "bucket"])
+            .filter(F.col("ka") < F.col("kb"))
+            .select("ka", "kb")
+            .distinct()
+        )
+        row = (
+            cand.join(truth.withColumn("t", F.lit(1)), ["ka", "kb"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_cand"),
+                F.count("t").alias("n_hits"),
+            )
+            .crossJoin(F.broadcast(tc))
+            .select(
+                F.lit(w).cast("long").alias("band_bits"),
+                "n_truth",
+                "n_cand",
+                "n_hits",
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    recall = F.when(
+        F.col("n_truth") > 0, F.col("n_hits").cast("double") / F.col("n_truth")
+    )
+    precision = F.when(
+        F.col("n_cand") > 0, F.col("n_hits").cast("double") / F.col("n_cand")
+    )
+    return rows.select(
+        "band_bits",
+        "n_truth",
+        "n_cand",
+        "n_hits",
+        round_stable(recall, 6).alias("recall"),
+        round_stable(precision, 6).alias("precision"),
     )

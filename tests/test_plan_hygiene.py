@@ -74,6 +74,8 @@ BNLJ_OK = {
     "lsh_recall_precision",
     # 1-row corpus-total x labeled-node-count singleton subtraction
     "cluster_size_histogram",
+    # bounded-slice all-pairs cosine truth + 1-row n_truth broadcast
+    "banded_width_recall",
 }
 
 

@@ -107,3 +107,24 @@ def test_threshold_sensitivity_pins(spark, sf_dir):
     assert at_floor["n_pairs"] == QUERIES["dedup_minhash_lsh"].build(
         spark, sf_dir
     ).count()
+
+
+def test_banded_width_recall_monotone(spark, sf_dir):
+    """Wider bands are strictly finer blocking: candidates and captured
+    truth both non-increasing in the width; ratios consistent."""
+    from big_data_analytics_mini_projects_spark.plans.round12q import BW_SWEEP
+
+    rows = sorted(
+        QUERIES["banded_width_recall"].build(spark, sf_dir).collect(),
+        key=lambda r: r["band_bits"],
+    )
+    assert [r["band_bits"] for r in rows] == sorted(BW_SWEEP)
+    n_truth = {r["n_truth"] for r in rows}
+    assert len(n_truth) == 1 and n_truth.pop() > 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_cand"] <= a["n_cand"]
+        assert b["n_hits"] <= a["n_hits"]
+    for r in rows:
+        assert r["n_hits"] <= min(r["n_truth"], r["n_cand"])
+        assert 0.0 <= r["recall"] <= 1.0
+        assert 0.0 <= r["precision"] <= 1.0
