@@ -2,8 +2,8 @@
 (the established forward-batch path: registered at the catalog TAIL so the
 live round-7 rotation stays byte-identical; covered from day one by the
 local differential gate and the 10x/100x ledger, first driver verdict when
-round 9's window rotates). These five count against ROUND 9's <= 15
-new-query budget (9 left after them; ROUND_QUEUE round-9 note).
+round 9's window rotates). These seven count against ROUND 9's <= 15
+new-query budget (8 left after them; ROUND_QUEUE round-9 note).
 
 The batch extends the tuning-curve / quality-accounting surface the round-8
 batches established — every query is a measurement a 100 TB pipeline runs
@@ -28,6 +28,9 @@ BEFORE committing to a parameter:
   banded-SRP embedding-dedup blocking stage at 2/4/6/8 bits per band,
   against exact all-pairs cosine truth on a constant slice: the measured
   justification for the occupancy-rule adaptive width.
+- ``pagerank_convergence_curve``  — per-iteration L1 rank movement and
+  mass conservation of the trade-graph PageRank: the graph sibling of
+  lloyd_convergence_curve's is-it-settling diagnostic.
 """
 
 from __future__ import annotations
@@ -672,3 +675,129 @@ def banded_width_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_stable(recall, 6).alias("recall"),
         round_stable(precision, 6).alias("precision"),
     )
+
+
+# --------------------------------------------------------------------------
+# pagerank_convergence_curve
+# --------------------------------------------------------------------------
+
+#: Same recurrence constants as plans/graphq.pagerank_trade_graph —
+#: imported so the two queries cannot drift apart.
+from .graphq import DAMPING, N_PR_ITERS  # noqa: E402
+
+
+def _sql_pr_curve_oracle(materialized: bool = False) -> str:
+    """Unrolled PageRank with per-iteration L1-delta/mass accounting
+    (mirrors graphq._pagerank_oracle's CTE chain; MATERIALIZED scale form
+    for the same inline-explosion reason)."""
+    m = " MATERIALIZED" if materialized else ""
+    head = (
+        f"WITH e0 AS{m} (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
+        "'c' || CAST(o_custkey AS VARCHAR) AS dst, COUNT(*) AS w "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), "
+        f"e AS{m} (SELECT src, dst, w FROM e0 "
+        "UNION ALL SELECT dst AS src, src AS dst, w FROM e0), "
+        "outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src), "
+        f"ed AS{m} (SELECT e.src, e.dst, e.w / outw.ow AS p "
+        "FROM e JOIN outw USING (src)), "
+        "nn AS (SELECT COUNT(*) AS n FROM outw), "
+        "r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM outw)"
+    )
+    steps = "".join(
+        f", r{t} AS{m} (SELECT ed.dst AS node, "
+        f"0.15 / (SELECT n FROM nn) + {DAMPING} * SUM(r.r * ed.p) AS r "
+        f"FROM ed JOIN r{t - 1} r ON ed.src = r.node GROUP BY ed.dst)"
+        for t in range(1, N_PR_ITERS + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS iteration, "
+        f"(SELECT COUNT(*) FROM r{t}) AS n_nodes, "
+        "(SELECT "
+        + sql_dsum(
+            sql_round_stable(
+                f"abs(a.r - b.r) * (SELECT n FROM nn)", 4
+            ),
+            4,
+        )
+        + f" FROM r{t} a JOIN r{t - 1} b USING (node)) AS l1_delta, "
+        "(SELECT "
+        + sql_dsum(sql_round_stable("r * (SELECT n FROM nn)", 4), 4)
+        + f" FROM r{t}) AS total_mass"
+        for t in range(1, N_PR_ITERS + 1)
+    )
+    return head + steps + " " + rows
+
+
+@register(
+    "pagerank_convergence_curve",
+    oracle=_sql_pr_curve_oracle(),
+    scale_oracle=_sql_pr_curve_oracle(materialized=True),
+    doc="PageRank convergence accounting — the iterative-convergence "
+    "observability pattern (lloyd_convergence_curve for the quantizer, "
+    "the Lloyd inertia curve's graph sibling): per iteration, the L1 "
+    "rank movement sum|r_t - r_(t-1)| and the total rank mass, both in "
+    "relative-rank units (x N). The curve that answers 'how many more "
+    "iterations does this graph need' before anyone pays for them, and "
+    "the mass row is a free conservation check (= N up to rounding). "
+    "Same recurrence, same persisted pre-partitioned transition matrix "
+    "discipline as pagerank_trade_graph (constants imported so they "
+    "cannot drift); per-iteration rank frames are persisted so the "
+    "accounting rows do not re-run the rank chain quadratically. "
+    "Cross-engine float discipline: per-node quantities are stably "
+    "rounded to 4 decimals THEN exact-decimal summed, the same tolerance "
+    "class the driver-green pagerank output already pins. Contraction "
+    "(delta non-increasing, factor ~damping) is a unit-test invariant.",
+    tags=("pagerank", "graph", "iterative", "quality"),
+)
+def pagerank_convergence_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e0 = persist_tracked(e0)
+    e = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    edges = persist_tracked(
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .repartition(F.col("src"))
+    )
+    nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
+    n = nodes.count()  # bounded scalar-collect class (see graphq)
+    prev = persist_tracked(nodes.select("node", F.lit(1.0 / n).alias("r")))
+    out = None
+    for t in range(1, N_PR_ITERS + 1):
+        ranks = persist_tracked(
+            edges.join(prev, edges.src == prev.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15 / n) + F.lit(DAMPING) * F.col("s")).alias("r"),
+            )
+        )
+        joined = ranks.join(
+            prev.select("node", F.col("r").alias("pr")), "node"
+        )
+        row = joined.agg(
+            F.lit(t).cast("long").alias("iteration"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            dsum(
+                round_stable(F.abs(F.col("r") - F.col("pr")) * n, 4), 4
+            ).alias("l1_delta"),
+            dsum(round_stable(F.col("r") * n, 4), 4).alias("total_mass"),
+        )
+        out = row if out is None else out.unionAll(row)
+        prev = ranks
+    return out

@@ -128,3 +128,19 @@ def test_banded_width_recall_monotone(spark, sf_dir):
         assert r["n_hits"] <= min(r["n_truth"], r["n_cand"])
         assert 0.0 <= r["recall"] <= 1.0
         assert 0.0 <= r["precision"] <= 1.0
+
+
+def test_pagerank_curve_contraction(spark, sf_dir):
+    """PageRank is a contraction in L1: per-iteration rank movement must
+    shrink (factor ~damping); total mass is conserved at N."""
+    rows = sorted(
+        QUERIES["pagerank_convergence_curve"].build(spark, sf_dir).collect(),
+        key=lambda r: r["iteration"],
+    )
+    assert [r["iteration"] for r in rows] == [1, 2, 3]
+    n = rows[0]["n_nodes"]
+    for r in rows:
+        assert r["n_nodes"] == n
+        assert abs(r["total_mass"] - n) < 0.05 * n * 1e-2 + 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["l1_delta"] <= a["l1_delta"] + 1e-6
