@@ -80,6 +80,12 @@ def main() -> None:
             print(f"BENCH FAIL {name}: {failures[name]}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    # Self-describing coverage (round-7 verdict item 6): name every catalog
+    # query the suite does NOT time, so a reader can never mistake the bench
+    # for full-catalog coverage. bench=False is set per-registration for the
+    # streaming-replay twins (multi-batch availableNow replays measure the
+    # replay harness, not the operator) and sink-shaped queries.
+    excluded = sorted(name for name, spec in QUERIES.items() if not spec.bench)
     out = {
         "metric": "suite_seconds",
         "value": total,
@@ -88,6 +94,8 @@ def main() -> None:
         "queries_cold": cold,
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_catalog": len(QUERIES),
+        "excluded": excluded,
     }
     if failures:
         out["failures"] = failures
@@ -110,6 +118,8 @@ def main() -> None:
         "repeats": repeats,
         "n_queries": len(timings),
         "n_failures": len(failures),
+        "n_catalog": len(QUERIES),
+        "n_excluded": len(excluded),
         "full_detail": "bench_out.json",
     }
     budget = 1900

@@ -6,39 +6,50 @@ exactly this catalog to the verification driver.
 
 REGISTRATION ORDER MATTERS: the correctness driver verifies exactly the FIRST
 50 catalog entries per round (registration order == import order below, then
-decorator order within a module; 50 confirmed by CORRECTNESS_r03..r06 all
+decorator order within a module; 50 confirmed by CORRECTNESS_r03..r07 all
 holding exactly the first-50 set of their round's ordering).
 
-ROUND-7 WINDOW (round-6 verdict items 1-2 + ROUND_QUEUE round-7 queue):
+ROUND-8 WINDOW (round-7 verdict items 1+5 + ROUND_QUEUE round-8 queue):
 
-  1. round7q (9)   — the ONLY catalog entries without a green CORRECTNESS
-     row (round-6-authored at the catalog tail; local-oracle + 100x-ledger
-     green, never driver-verified): ann_ivf_nprobe, dedup_containment,
-     domain_lang_drift, chunk_dedup_boilerplate, streaming_token_budget,
-     dedup_exact_substring, crawl_freshness_sample, bm25f_title_body,
-     streaming_domain_drift.
-  2. vectorq (3) + baselineq (4) — the re-staled ANN/embedding greens
-     (import-refactored in the round-6 extension session after their last
-     driver run; baselineq's module-level helper import executes vectorq
-     first, consistent with this order).
-  3. round8q (8)   — round 7's new queries (within the <= 15 budget net of
-     the four round7q item-c entries built early): real event-time
-     semantics (freshness decay, cohorts, sliding windows, transitions,
-     watermark-evicted streaming sessions) + OOV rate, Gini concentration,
-     and the exact-substring width sweep.
-  4. warehouseq (3) + decisionq (2) — the OLDEST driver greens (r3,
-     untouched since; routine re-verify rotation).
-  5. core (12) + textq (5) + statsq (first 4; corr_price_quantity spills
-     to position 50) — r4 greens, next-oldest.
+  1. round9q (3) + round10q (7) — round-7-authored, never driver-verified:
+     dedup_substring_withindoc, streaming_sliding_counts, ann_ivf_lloyd;
+     retention_value_bands, vocab_growth_curve, domain_cap_sweep,
+     event_value_mad_outliers, ann_recall_ivf, streaming_late_data_drop,
+     lloyd_convergence_curve.
+  2. similarityq (10) — required before round11q/round12q (both import its
+     helpers at module level), and itself due: minhash_fast_jaccard is the
+     r5-stale green (verdict item 5); the dedup family rides along.
+  3. round11q (5) + round12q (7) — the round-7 extension/continuation
+     forward batches, never driver-verified: watermark_sensitivity_hourly,
+     retention_quality_bridge, srp_recall_probe_curve, lsh_recall_precision,
+     quality_threshold_sweep; pack_efficiency_sweep, temperature_mix_rates,
+     cluster_size_histogram, minhash_error_accounting,
+     dedup_threshold_sensitivity, banded_width_recall,
+     pagerank_convergence_curve.
+  4. multimodalq (10) — holds 6 of the 8 streaming twins re-staled by the
+     round-7 stream_stats.py edits (ROUND_QUEUE item b); the 4 multimodal
+     codecs ride along.
+  5. mlq (1) + linalgq (2) — the r5/r4-stale greens momentum_gd_linreg and
+     the matmul/scan_coo family (verdict item 5).
+  6. streamequivq (1) + qaq (first 4) — the remaining stream twins
+     (streaming_batch_equiv_hourly; streaming_session_windows at position
+     50). qaq's last entry range_overlap_sessions is the planned position-51
+     spill (r6 green, batch-only — no stream_stats dependency; same-session
+     local differential recorded in ROUND_QUEUE instead).
 
-  Tier total: 9+3+4+8+3+2+12+5+4 = 50 — the window exactly. None of the
-  tier modules imports another plans/ query module except the two noted
-  pairs (round8q -> round7q for span_col; baselineq -> vectorq), both of
-  which import an EARLIER tier and so cannot reorder this contract. Shared
-  helpers live in plans/shared.py (registration-free). The position probe
+  Tier total: 3+7+10+5+7+10+1+2+1+4 = 50 — the window exactly.
+
+  DEPENDENCY NOTE: round9q..round12q previously imported round7q/round8q/
+  privacyq at module top level (ES_K/span_col, IVF constants, WEEK_US, _W_*
+  classifier weights), which would have dragged those modules' 19 fresh-r7
+  registrations into this window. Those symbols moved to plans/shared.py
+  (registration-free) in round 8; the original modules re-import them, so
+  every oracle string is unchanged single-source. Remaining in-window
+  imports (round11q/round12q -> similarityq; round12q -> round11q) import
+  EARLIER tiers only and cannot reorder this contract. The position probe
   in tests/test_plan_hygiene.py pins the set.
 
-Round queues and history move to ROUND_QUEUE.md (round-5 verdict item 8) —
+Round queues and history live in ROUND_QUEUE.md (round-5 verdict item 8) —
 this docstring stays the registration-order contract only.
 
 STANDING RULE (round-3 verdict item 1): any round that touches session.py or
@@ -51,55 +62,52 @@ driver coverage in its first round.
 from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
 # Each import populates the registry via @register side effects.
-# -- tier 1: the nine never-driver-verified round7q queries --
-from . import round7q  # noqa: F401
+# -- tier 1: never-driver-verified round-7 forward batches --
+from . import round9q  # noqa: F401
+from . import round10q  # noqa: F401
 
-# -- tier 2: re-staled ANN/embedding greens (vectorq before baselineq:
-# baselineq's helper import executes vectorq anyway) --
+# -- tier 2: similarityq (round11q/round12q dependency + the r5-stale
+# minhash_fast green) --
+from . import similarityq  # noqa: F401
+
+# -- tier 3: the extension/continuation forward batches --
+from . import round11q  # noqa: F401
+from . import round12q  # noqa: F401
+
+# -- tier 4: stream_stats-staled streaming twins (6 of 8) + codecs --
+from . import multimodalq  # noqa: F401
+
+# -- tier 5: oldest stale greens (r5 momentum_gd, r4 matmul family) --
+from . import mlq  # noqa: F401
+from . import linalgq  # noqa: F401
+
+# -- tier 6: remaining stream twins; qaq's last entry spills to 51 --
+from . import streamequivq  # noqa: F401
+from . import qaq  # noqa: F401
+
+# -- outside the window: most recent driver greens first (r7), then r6/r5 --
+from . import round7q  # noqa: F401
 from . import vectorq  # noqa: F401
 from . import baselineq  # noqa: F401
-
-# -- tier 3: round-7 new queries --
 from . import round8q  # noqa: F401
-
-# -- tier 4: oldest driver greens (r3, untouched since) --
 from . import warehouseq  # noqa: F401
 from . import decisionq  # noqa: F401
-
-# -- tier 5: r4 greens, next oldest (statsq's last entry spills to 50) --
 from . import core  # noqa: F401
 from . import textq  # noqa: F401
 from . import statsq  # noqa: F401
-
-# -- outside the window: most recent driver greens first (r6 then r5/r4) --
 from . import samplingq  # noqa: F401
 from . import sourcesq  # noqa: F401
 from . import relationalx  # noqa: F401
-from . import multimodalq  # noqa: F401
 from . import round6q  # noqa: F401
 from . import recommendq  # noqa: F401
 from . import tpchfull  # noqa: F401
 from . import privacyq  # noqa: F401
-from . import similarityq  # noqa: F401
 from . import graphq  # noqa: F401
 from . import textanalysisq  # noqa: F401
-from . import qaq  # noqa: F401
 from . import corpusq  # noqa: F401
 from . import sketchq  # noqa: F401
-from . import mlq  # noqa: F401
 from . import pipelineq  # noqa: F401
-from . import streamequivq  # noqa: F401
 from . import curationq  # noqa: F401
 from . import qualityq  # noqa: F401
-from . import linalgq  # noqa: F401
 from . import tpchx  # noqa: F401
 from . import fuzzydedupq  # noqa: F401
-
-# -- tail: round-7-authored queries for the ROUND-8 window (never driver-
-# verified yet — deliberately registered AFTER every green module so the
-# round-7 rotation window above is untouched; see plans/round9q.py,
-# plans/round10q.py and ROUND_QUEUE.md) --
-from . import round9q  # noqa: F401
-from . import round10q  # noqa: F401
-from . import round11q  # noqa: F401
-from . import round12q  # noqa: F401

@@ -30,8 +30,7 @@ from ..functions.text import round_stable, sql_round_stable
 from .registry import register
 from ..caching import persist_tracked
 
-DAMPING = 0.85
-N_PR_ITERS = 3
+from .shared import DAMPING, N_PR_ITERS  # noqa: E402  (values in shared.py since round 8)
 
 
 def _pagerank_oracle(iters: int = N_PR_ITERS, materialized: bool = False) -> str:

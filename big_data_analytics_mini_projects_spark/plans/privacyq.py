@@ -42,7 +42,9 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Classifier weights — stand-ins for a trained quality model's parameters;
 #: broadcast to executors exactly like real model weights would be.
-_W_BIAS, _W_NTOK, _W_AVGLEN, _W_STOP = -2.0, 0.01, 0.3, -0.15
+#: Values live in plans/shared.py (round-8 window decoupling; round11q's
+#: quality_threshold_sweep shares them without importing this module).
+from .shared import _W_AVGLEN, _W_BIAS, _W_NTOK, _W_STOP  # noqa: E402
 
 
 @register(

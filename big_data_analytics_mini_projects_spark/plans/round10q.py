@@ -46,9 +46,15 @@ from ..operators.aggregates import dsum, sql_dsum
 from ..operators.vector import _dot, cosine_topk, cosine_topk_ivf, ivf_cell_centroids
 from ..sources.tables import load_table, spread
 from .registry import register
-from .round7q import _SQL_IVF, IVF_K, IVF_NPROBE, IVF_QUERIES
-from .round8q import WEEK_US
-from .shared import SQL_VECS, embedding_vectors
+from .shared import (
+    _SQL_IVF,
+    IVF_K,
+    IVF_NPROBE,
+    IVF_QUERIES,
+    SQL_VECS,
+    WEEK_US,
+    embedding_vectors,
+)
 
 # --------------------------------------------------------------------------
 # retention_value_bands

@@ -40,10 +40,16 @@ from ..operators.aggregates import dsum, sql_dsum
 from ..operators.similarity import lsh_bands, lsh_candidates, minhash_signatures
 from ..operators.vector import _dot, cosine_topk, hyperplane_buckets
 from ..sources.tables import load_table, spread
-from .privacyq import _W_AVGLEN, _W_BIAS, _W_NTOK, _W_STOP
 from .registry import register
-from .round8q import WEEK_US
-from .shared import SQL_VECS, embedding_vectors
+from .shared import (
+    _W_AVGLEN,
+    _W_BIAS,
+    _W_NTOK,
+    _W_STOP,
+    SQL_VECS,
+    WEEK_US,
+    embedding_vectors,
+)
 from .similarityq import (
     NUM_HASHES,
     ROWS_PER_BAND,

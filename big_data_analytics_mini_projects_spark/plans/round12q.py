@@ -512,8 +512,8 @@ BW_BANDS = 4
 EMB_EVAL_LIMIT = 500
 
 #: Same near-duplicate threshold as the embedding dedup family
-#: (plans/vectorq.NEAR_MIN_COS — imported to stay pinned together).
-from .vectorq import NEAR_MIN_COS  # noqa: E402
+#: (plans/shared.NEAR_MIN_COS — single-sourced with vectorq's family).
+from .shared import NEAR_MIN_COS  # noqa: E402
 
 _SQL_COS_AB = (
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
@@ -683,7 +683,7 @@ def banded_width_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Same recurrence constants as plans/graphq.pagerank_trade_graph —
 #: imported so the two queries cannot drift apart.
-from .graphq import DAMPING, N_PR_ITERS  # noqa: E402
+from .shared import DAMPING, N_PR_ITERS  # noqa: E402
 
 
 def _sql_pr_curve_oracle(materialized: bool = False) -> str:

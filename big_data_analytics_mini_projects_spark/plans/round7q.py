@@ -53,46 +53,22 @@ from ..operators.vector import cosine_topk_ivf
 from ..sources.tables import load_table, spread
 from .registry import register
 from .shared import (
+    _SQL_COS_QE,  # noqa: F401  (re-export: round11q cites this module)
+    _SQL_IVF,
+    ES_K,
+    IVF_K,
+    IVF_NPROBE,
+    IVF_QUERIES,
     SQL_TOKEN_BUDGET,
     SQL_VECS,
     TOKEN_BUDGET,
     embedding_vectors,
+    span_col,
 )
 
-IVF_QUERIES = 5   # vec_id < 5 are the query vectors (same as the ANN family)
-IVF_K = 10
-IVF_NPROBE = 3    # of the 10 label cells
-
-_SQL_COS_QE = (
-    "list_dot_product(q.v, e.v) / "
-    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))"
-)
-
-#: Centroids / probe-cell CTEs shared with the Spark twin expression-for-
-#: expression: decimal-exact component means (VARCHAR bridge — see
-#: operators/aggregates.sql_dsum), d2 via the same three dot products.
-_SQL_IVF = f"""
-{SQL_VECS},
-comp AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
-cm AS (SELECT label, pos,
-       CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
-       FROM comp GROUP BY label, pos),
-cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM cm GROUP BY label),
-q AS (SELECT vec_id, v FROM e WHERE vec_id < {IVF_QUERIES}),
-qc AS (SELECT q.vec_id AS query_id, c.label AS cell,
-       list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.cv)
-       + list_dot_product(c.cv, c.cv) AS d2
-       FROM q, cent c),
-probes AS (SELECT query_id, cell FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY d2 ASC, cell ASC) AS pr FROM qc)
-  WHERE pr <= {IVF_NPROBE}),
-pairs AS (SELECT p.query_id, e.vec_id AS neighbor_id, {_SQL_COS_QE} AS cos
-          FROM probes p
-          JOIN e ON e.label = p.cell
-          JOIN q ON q.vec_id = p.query_id
-          WHERE e.vec_id <> p.query_id)
-"""
+# IVF_QUERIES/IVF_K/IVF_NPROBE/_SQL_IVF and ES_K/span_col moved to
+# plans/shared.py (round-8 window decoupling) — re-imported above so this
+# module's public surface is unchanged.
 
 
 @register(
@@ -357,24 +333,7 @@ def streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- round-7 budget, built early (module docstring: second section) --------
-
-ES_K = 12   # exact-substring span width in tokens
-
-
-def span_col(toks_col: str = "toks", k: int = ES_K) -> F.Column:
-    """Overlapping k-token span array of a token-array column (one span per
-    start position) — a per-row transform, zero shuffle. Same empty/short-doc
-    guard as chunk_col: Spark's sequence(0, negative) DESCENDS, so docs with
-    fewer than k tokens must short-circuit to an empty array."""
-    return F.when(
-        F.size(toks_col) < k, F.array().cast("array<string>")
-    ).otherwise(
-        F.expr(
-            f"transform(sequence(0, size({toks_col}) - {k}), "
-            f"i -> array_join(slice({toks_col}, i + 1, {k}), ' '))"
-        )
-    )
-
+# (ES_K / span_col now live in plans/shared.py; imported at the top.)
 
 _SQL_ES = f"""
 tarr AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

@@ -39,10 +39,9 @@ from ..functions.text import round_stable, sql_round_stable
 from ..operators.aggregates import dsum, sql_dsum
 from ..sources.tables import load_table, spread
 from .registry import register
-from .round7q import span_col
+from .shared import DAY_US, WEEK_US, span_col  # noqa: F401  (re-export: WEEK_US cited here)
 
-DAY_US = 86_400_000_000
-WEEK_US = 7 * DAY_US
+# DAY_US/WEEK_US moved to plans/shared.py (round-8 window decoupling).
 
 #: Fixed bucket count for the event->doc last-seen link: the bucket frame is
 #: always exactly this many rows (broadcast-sized at ANY corpus scale) and
@@ -180,21 +179,15 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SLIDE_US = 1_800_000_000  # 30 min
-WIN_US = 2 * SLIDE_US     # 1 hour
+# SLIDE_US/WIN_US/the oracle text live in plans/shared.py (round-8 window
+# decoupling: the streaming twin round9q.streaming_sliding_counts shares the
+# oracle string without importing this module).
+from .shared import SLIDE_US, SQL_SLIDING_RATE, WIN_US  # noqa: E402, F401
 
 
 @register(
     "sliding_window_event_rate",
-    oracle=(
-        "WITH e AS (SELECT event_type, value, epoch_us(ts) AS t FROM events), "
-        "x AS (SELECT event_type, value, unnest(["
-        f"(t // {SLIDE_US}) * {SLIDE_US} - {SLIDE_US}, "
-        f"(t // {SLIDE_US}) * {SLIDE_US}]) AS win_start_us FROM e) "
-        "SELECT win_start_us, event_type, COUNT(*) AS n, "
-        f"{sql_dsum('value')} AS sum_value "
-        "FROM x GROUP BY win_start_us, event_type"
-    ),
+    oracle=SQL_SLIDING_RATE,
     doc="Sliding event-time windows (1 h length, 30 min slide) per event "
     "type — the overlapping-window shape tumbling events_hourly cannot "
     "express: every event belongs to exactly two windows, which the oracle "

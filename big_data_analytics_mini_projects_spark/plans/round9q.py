@@ -31,8 +31,7 @@ from ..functions.text import round_stable, sql_round_stable
 from ..operators.vector import _dot, ivf_cell_centroids
 from ..sources.tables import load_table, spread
 from .registry import register
-from .round7q import ES_K, span_col
-from .shared import SQL_VECS, embedding_vectors
+from .shared import ES_K, SQL_VECS, embedding_vectors, span_col
 
 WD_K = ES_K  # same 12-token span width as the cross-doc query
 
@@ -131,13 +130,14 @@ def withindoc_repeat_stats(docs: DataFrame, k: int = WD_K) -> DataFrame:
 
 
 def _register_streaming_sliding():
-    # deferred so the oracle text is shared verbatim with the batch twin
-    from .round8q import sliding_window_event_rate  # noqa: F401
-    from .registry import QUERIES
+    # oracle text shared verbatim with the batch twin
+    # (round8q.sliding_window_event_rate) via plans/shared.py — an import of
+    # round8q here would drag its 8 registrations into the driver window.
+    from .shared import SQL_SLIDING_RATE
 
     @register(
         "streaming_sliding_counts",
-        oracle=QUERIES["sliding_window_event_rate"].oracle,
+        oracle=SQL_SLIDING_RATE,
         doc="Watermarked STREAMING sliding windows (1 h / 30 min slide) per "
         "event type — the overlapping-window aggregation through the "
         "streaming state store: each event updates TWO window states, the "

@@ -20,7 +20,7 @@ TOPK_QUERIES = 5     # vec_id < 5 are the query vectors
 TOPK_K = 10
 BLOCKED_K = 5
 NEAR_SUBSET_MOD = 4  # vec_id % 4 == 0 subset for the all-pairs near-dup query
-NEAR_MIN_COS = 0.35
+from .shared import NEAR_MIN_COS  # noqa: E402  (value in shared.py since round 8)
 
 _SQL_COS = (
     "list_dot_product(q.v, e.v) / "

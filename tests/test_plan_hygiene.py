@@ -79,58 +79,57 @@ BNLJ_OK = {
 }
 
 
-#: Round-7 verification rotation (catalog.py tiers 1-5): the nine never-
-#: driver-verified round7q queries, the seven re-staled vectorq/baselineq
-#: ANN/embedding greens, round 7's new round8q queries (included
-#: dynamically), and the oldest-green re-verify tail (warehouseq/decisionq
-#: r3; core/textq/statsq r4 — statsq's corr_price_quantity is the planned
-#: position-50 spill and is deliberately NOT mandatory). Every one MUST
-#: register inside the driver's 50-entry window or it gets no fresh verdict
-#: this round.
-ROUND7_WINDOW_SET = {
-    # tier 1: round7q x9 — only catalog entries without a CORRECTNESS row
-    "ann_ivf_nprobe", "dedup_containment", "domain_lang_drift",
-    "chunk_dedup_boilerplate", "streaming_token_budget",
-    "dedup_exact_substring", "crawl_freshness_sample", "bm25f_title_body",
-    "streaming_domain_drift",
-    # tier 2: re-staled ANN/embedding greens (vectorq x3 + baselineq x4)
-    "ann_cosine_topk_blocked", "ann_multiprobe_topk",
-    "embedding_diversity_by_label",
-    "ann_cosine_topk", "dedup_embedding_cosine", "ann_hyperplane_buckets",
-    "embedding_label_stats",
-    # tier 4: oldest greens (warehouseq x3 r3, decisionq x2 r3)
-    "scan_orc_roundtrip", "incremental_snapshot_merge", "profile_table_stats",
-    "tpch_q4_order_priority", "tpch_q13_customer_distribution",
-    # tier 5: r4 greens (core x12, textq x5, statsq first 4)
-    "project_json_events", "ratings_last_per_key", "ratings_last_seen_compat",
-    "having_count_items", "semi_join_orders", "anti_join_customers",
-    "broadcast_join_revenue", "tpch_q1_pricing_summary", "tpch_q3_top_orders",
-    "topk_orders_per_segment", "asof_join_error_attribution",
-    "salted_join_skewed",
-    "wordcount_topk", "wordcount_full", "wordcount_mem_fixture",
-    "set_difference", "mean_std_chars",
-    "ols_simple_words", "ols_simple_words_zero_rows", "ols_multi_words",
-    "ols_words_pvalues",
+#: Round-8 verification rotation (catalog.py tiers 1-6): the 22 never-
+#: driver-verified round9q/round10q/round11q/round12q forward batches, the
+#: similarityq block (round11q/12q dependency + the r5-stale minhash_fast
+#: green), all 8 streaming twins re-staled by the round-7 stream_stats.py
+#: edits, and the oldest stale greens (r5 momentum_gd, r4 matmul family).
+#: qaq's range_overlap_sessions is the planned position-51 spill and is
+#: deliberately NOT mandatory (batch-only, no stream_stats dependency;
+#: same-session local differential recorded in ROUND_QUEUE.md). Every one
+#: below MUST register inside the driver's 50-entry window or it gets no
+#: fresh verdict this round.
+ROUND8_WINDOW_SET = {
+    # tier 1: round9q x3 + round10q x7 — never driver-verified
+    "dedup_substring_withindoc", "streaming_sliding_counts", "ann_ivf_lloyd",
+    "retention_value_bands", "vocab_growth_curve", "domain_cap_sweep",
+    "event_value_mad_outliers", "ann_recall_ivf", "streaming_late_data_drop",
+    "lloyd_convergence_curve",
+    # tier 2: similarityq x10 (dependency of round11q/round12q; contains the
+    # r5-stale minhash_fast_jaccard)
+    "minhash_jaccard", "minhash_fast_jaccard", "lsh_candidates",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_clusters_twophase",
+    "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_apply_canonical",
+    # tier 3: round11q x5 + round12q x7 — never driver-verified
+    "watermark_sensitivity_hourly", "retention_quality_bridge",
+    "srp_recall_probe_curve", "lsh_recall_precision",
+    "quality_threshold_sweep",
+    "pack_efficiency_sweep", "temperature_mix_rates",
+    "cluster_size_histogram", "minhash_error_accounting",
+    "dedup_threshold_sensitivity", "banded_width_recall",
+    "pagerank_convergence_curve",
+    # tier 4: multimodalq x10 (6 stream_stats-staled twins + 4 codecs)
+    "multimodal_meta", "multimodal_frames", "multimodal_wav_decode",
+    "multimodal_bmp_decode", "streaming_welford_stats",
+    "streaming_hourly_counts", "streaming_user_stats",
+    "streaming_scd2_intervals", "streaming_interval_join",
+    "streaming_dedup_events",
+    # tier 5: oldest stale greens (r5 mlq, r4 linalgq)
+    "momentum_gd_linreg", "matmul_coo_fixture", "matmul_lineitem",
+    # tier 6: remaining stream twins (streamequivq; qaq's twin at pos 50)
+    "streaming_batch_equiv_hourly", "streaming_session_windows",
 }
 
 
-def test_round7_window_positions():
+def test_round8_window_positions():
     """The driver checks exactly the first 50 registration positions
-    (CORRECTNESS_r03..r06 all hold exactly that set); the whole round-7
-    verification rotation must sit inside them. round8q's new queries are
-    included dynamically: every round8q registration is window-mandatory."""
+    (CORRECTNESS_r03..r07 all hold exactly that set); the whole round-8
+    verification rotation must sit inside them."""
     order = list(QUERIES)
-    # mandatory = explicit set + everything registered by plans.round8q
-    import big_data_analytics_mini_projects_spark.plans.round8q as r8
-
-    r8_registered = {
-        n for n in QUERIES
-        if callable(getattr(r8, n, None))
-    }
-    mandatory = ROUND7_WINDOW_SET | r8_registered
-    late = {n for n in mandatory if order.index(n) >= 50}
+    late = {n for n in ROUND8_WINDOW_SET if order.index(n) >= 50}
     assert not late, f"outside the 50-entry driver window: {sorted(late)}"
-    assert len(mandatory) <= 50
+    assert len(ROUND8_WINDOW_SET) <= 50
 
 
 def test_catalog_plan_hygiene(spark, sf_dir):
@@ -281,7 +280,15 @@ def test_round11q_round12q_shapes_pinned(spark, sf_dir):
     rb = QUERIES["retention_quality_bridge"].build(spark, sf_dir)
     plan = rb._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan or "user_id" in plan
+    # the 4096-row bucket dim must ride BroadcastHashJoin, never SortMerge:
+    # parse each join's key list and reject any SortMergeJoin keyed on
+    # bucket/band (the plain substring check was vacuous — user_id appears
+    # in every plan string).
+    smj_keys = re.findall(r"SortMergeJoin\w* \[([^\]]*)\]", plan)
+    assert not any(
+        k.startswith(("bucket#", "band#")) for keys in smj_keys
+        for k in keys.split(", ")
+    ), smj_keys
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     corpus_keys = [
         e for e in exchanges

@@ -110,8 +110,14 @@ def test_threshold_sensitivity_pins(spark, sf_dir):
 
 
 def test_banded_width_recall_monotone(spark, sf_dir):
-    """Wider bands are strictly finer blocking: candidates and captured
-    truth both non-increasing in the width; ratios consistent."""
+    """Wider bands are finer blocking, so candidates and captured truth
+    TREND downward in width — but the sweep's candidate sets are not
+    mathematically nested (a w-bit code uses planes [0, 4w), so a wider
+    code tests planes the narrower one never sees), so strict pairwise
+    monotonicity is only empirical on the current fixture (round-7 ADVICE).
+    Pin the guaranteed invariants exactly and the trend with slack: each
+    step may exceed its predecessor by at most 10% + 5 pairs, and the
+    widest setting must be strictly below the narrowest."""
     from big_data_analytics_mini_projects_spark.plans.round12q import BW_SWEEP
 
     rows = sorted(
@@ -122,8 +128,10 @@ def test_banded_width_recall_monotone(spark, sf_dir):
     n_truth = {r["n_truth"] for r in rows}
     assert len(n_truth) == 1 and n_truth.pop() > 0
     for a, b in zip(rows, rows[1:]):
-        assert b["n_cand"] <= a["n_cand"]
-        assert b["n_hits"] <= a["n_hits"]
+        assert b["n_cand"] <= a["n_cand"] * 1.10 + 5, (a, b)
+        assert b["n_hits"] <= a["n_hits"] * 1.10 + 5, (a, b)
+    assert rows[-1]["n_cand"] < rows[0]["n_cand"], (rows[0], rows[-1])
+    assert rows[-1]["n_hits"] <= rows[0]["n_hits"], (rows[0], rows[-1])
     for r in rows:
         assert r["n_hits"] <= min(r["n_truth"], r["n_cand"])
         assert 0.0 <= r["recall"] <= 1.0
