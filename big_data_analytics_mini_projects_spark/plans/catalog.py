@@ -111,3 +111,9 @@ from . import curationq  # noqa: F401
 from . import qualityq  # noqa: F401
 from . import tpchx  # noqa: F401
 from . import fuzzydedupq  # noqa: F401
+
+# -- tail: round-8-authored queries for the ROUND-9 window (never driver-
+# verified yet — deliberately registered AFTER every green module so the
+# round-8 rotation window above is untouched; see plans/round13q.py and
+# ROUND_QUEUE.md) --
+from . import round13q  # noqa: F401

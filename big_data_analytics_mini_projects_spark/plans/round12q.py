@@ -151,55 +151,15 @@ def pack_efficiency_core(s: DataFrame) -> DataFrame:
 # temperature_mix_rates
 # --------------------------------------------------------------------------
 
-#: Mixing temperatures — ONLY sqrt-composed powers (1, 1/2, 1/4): IEEE
-#: sqrt is correctly rounded in both engines, pow(x, 0.7) is not.
-ALPHA_SWEEP = (1.0, 0.5, 0.25)
-
-#: Token budget for the expected-tokens column: half the corpus.
-MIX_BUDGET_DEN = 2
-
-
-def _sql_alpha_w(alpha: float, m: str) -> str:
-    if alpha == 1.0:
-        return f"CAST({m} AS DOUBLE)"
-    if alpha == 0.5:
-        return sql_round_stable(f"sqrt(CAST({m} AS DOUBLE))", 6)
-    if alpha == 0.25:
-        return sql_round_stable(f"sqrt(sqrt(CAST({m} AS DOUBLE)))", 6)
-    raise ValueError(alpha)
-
-
-def _sql_temperature_oracle() -> str:
-    blocks = " UNION ALL ".join(
-        f"SELECT {a}::DOUBLE AS alpha, source, m, {_sql_alpha_w(a, 'm')} AS w "
-        "FROM tot"
-        for a in ALPHA_SWEEP
-    )
-    return (
-        "WITH d AS (SELECT source, "
-        "len(list_filter(string_split(lower(text), ' '), x -> x <> '')) "
-        "AS n_tok FROM documents), "
-        "tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS m FROM d "
-        "GROUP BY source), "
-        f"aw AS ({blocks}), "
-        f"den AS (SELECT alpha, {sql_dsum('w', 6)} AS denom, "
-        "CAST(SUM(m) AS BIGINT) AS total FROM aw GROUP BY alpha) "
-        "SELECT aw.alpha, aw.source, aw.m AS src_tok, "
-        + sql_round_stable("aw.w / den.denom", 6)
-        + " AS share, "
-        + sql_round_stable(
-            f"{sql_round_stable('aw.w / den.denom', 6)} "
-            f"* (den.total // {MIX_BUDGET_DEN})",
-            2,
-        )
-        + " AS exp_tokens "
-        "FROM aw JOIN den ON aw.alpha = den.alpha"
-    )
+# ALPHA_SWEEP / MIX_BUDGET_DEN / the oracle text / the dimension-frame
+# share sweep live in plans/shared.py since round 8 (the streaming twin
+# streaming_mix_shares shares them without importing this module).
+from .shared import mix_shares_frame, sql_temperature_oracle  # noqa: E402
 
 
 @register(
     "temperature_mix_rates",
-    oracle=_sql_temperature_oracle(),
+    oracle=sql_temperature_oracle(),
     doc="Temperature-based corpus mixing shares (the multilingual/multi-"
     "source pretraining sampling rule p_s ~ tokens_s^alpha) at alpha = "
     "1 / 0.5 / 0.25, with the expected token draw under a half-corpus "
@@ -221,36 +181,7 @@ def temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tok"),
     )
     tot = docs.groupBy("source").agg(F.sum("n_tok").alias("m"))
-    m_dbl = F.col("m").cast("double")
-    aw = None
-    for a in ALPHA_SWEEP:
-        if a == 1.0:
-            w = m_dbl
-        elif a == 0.5:
-            w = round_stable(F.sqrt(m_dbl), 6)
-        else:
-            w = round_stable(F.sqrt(F.sqrt(m_dbl)), 6)
-        part = tot.select(
-            F.lit(a).alias("alpha"), "source", "m", w.alias("w")
-        )
-        aw = part if aw is None else aw.unionByName(part)
-    aw = persist_tracked(aw)
-    den = aw.groupBy("alpha").agg(
-        dsum(F.col("w"), 6).alias("denom"), F.sum("m").alias("total")
-    )
-    share = round_stable(F.col("w") / F.col("denom"), 6)
-    return (
-        aw.join(F.broadcast(den), "alpha")
-        .select(
-            "alpha",
-            "source",
-            F.col("m").alias("src_tok"),
-            share.alias("share"),
-            round_stable(
-                share * F.expr(f"total div {MIX_BUDGET_DEN}"), 2
-            ).alias("exp_tokens"),
-        )
-    )
+    return mix_shares_frame(tot)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,387 @@
+"""Round-9-budget forward batch #1 (authored in round 8; registered at the
+catalog TAIL so the round-8 driver window is untouched — ROUND_QUEUE.md).
+
+Three queries extending the tokenizer-training / mixing / quality families:
+
+- ``streaming_mix_shares``  — stateful streaming twin of round12q's
+  temperature_mix_rates: per-source cumulative token totals through
+  applyInPandasWithState (one long per domain), the alpha-sweep share
+  computation re-derived on the emitted dimension frame. Completes the
+  batch<->stream twin pattern for the mixing family; shares the oracle
+  text verbatim (plans/shared.sql_temperature_oracle).
+- ``bpe_merge_curve``       — MULTI-merge BPE tokenizer-training
+  convergence curve (the lloyd_convergence_curve shape on bpe_merge_step,
+  round6q): four full merge iterations — pair counting, greedy-leftmost
+  merge application, vocabulary compression tracking — run RELATIONALLY on
+  the word-type frame. ROUND_QUEUE flagged Spark-vs-DuckDB
+  regexp_replace greedy-parity as the risk here; this design eliminates
+  the regex entirely: the greedy leftmost-non-overlapping merge is a
+  gaps-and-islands window computation (dedup_exact_substring's trick),
+  identical integer logic in both engines — RE2's missing lookarounds
+  never enter the picture.
+- ``repetition_quality_rules`` — per-document repetition quality gates
+  (the MassiveText/Gopher rule family): top-word character share,
+  duplicate-word fraction, duplicate-2gram character share, composite
+  keep flag. Exact integer numerators/denominators, one stable-rounded
+  division per ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window, functions as F
+
+from ..caching import persist_tracked
+from ..functions.text import round_stable, sql_round_stable
+from ..sources.tables import load_table, spread
+from .registry import register
+from .shared import mix_shares_frame, sql_temperature_oracle
+
+# --------------------------------------------------------------------------
+# streaming_mix_shares
+# --------------------------------------------------------------------------
+
+
+@register(
+    "streaming_mix_shares",
+    oracle=sql_temperature_oracle(),
+    doc="Stateful STREAMING twin of temperature_mix_rates: the corpus "
+    "streams through applyInPandasWithState keeping ONE cumulative token "
+    "counter per source (stream_stats.stream_source_token_totals), and the "
+    "alpha = 1/0.5/0.25 share sweep re-derives on the emitted per-source "
+    "totals — a dimension-scale computation, so each micro-batch of a live "
+    "stream yields a refreshed share snapshot (the per-batch mix-drift "
+    "monitor a temperature-sampled training pipeline watches as sources "
+    "grow at different rates). Over an availableNow run the whole table is "
+    "one batch, so output == the batch twin bit-for-bit (shared oracle "
+    "text). Tokenization runs JVM-side before the Arrow hop; state is "
+    "|sources| longs at any corpus size.",
+    tags=("streaming", "curation", "sampling", "pipeline"),
+    bench=False,
+)
+def streaming_mix_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_stats import (
+        documents_stream,
+        run_available_now,
+        stream_source_token_totals,
+    )
+
+    totals = run_available_now(
+        stream_source_token_totals(documents_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    return mix_shares_frame(totals)
+
+
+# --------------------------------------------------------------------------
+# bpe_merge_curve
+# --------------------------------------------------------------------------
+
+#: Merge iterations of the convergence curve. Four is enough to cross at
+#: least one vocabulary-composition change (merged symbols competing with
+#: raw pairs) at every driver SF.
+N_MERGES = 4
+
+#: Word filter: alphanumeric-only word types keep every merged symbol free
+#: of regex/SQL metacharacters and whitespace, so the pair key 'a b' (space-
+#: joined) is unambiguous in both engines.
+_WORD_RE = "^[a-z0-9]+$"
+
+
+def _sql_bpe_oracle(iters: int = N_MERGES) -> str:
+    """Unrolled DuckDB mirror: per iteration, the pair-count aggregate, the
+    (cnt DESC, a ASC, b ASC) argmax as scalar subqueries, the gaps-and-
+    islands greedy-leftmost merge, and the freq-weighted stats row.
+
+    The multiply-referenced CTEs (each s{t} feeds the next iteration AND
+    the stats row; each b{t} is read by five scalar subqueries) carry AS
+    MATERIALIZED: without it DuckDB inlines the whole s{t} window chain
+    into every reference and the unrolled query re-evaluates the corpus
+    scan exponentially in the iteration count (measured 15 s -> sub-second
+    at sf0.001; the ols_words_pvalues lesson)."""
+    head = (
+        "WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(list_filter(string_split(lower(text), ' '), "
+        f"x -> regexp_matches(x, '{_WORD_RE}'))) AS word FROM documents) "
+        "GROUP BY word), "
+        "s0 AS MATERIALIZED (SELECT word, freq, pos, "
+        "substr(word, CAST(pos AS INT) + 1, 1) AS sym "
+        "FROM (SELECT word, freq, unnest(range(length(word))) AS pos FROM w))"
+    )
+    steps = []
+    for t in range(1, iters + 1):
+        p = t - 1
+        steps.append(
+            f", n{t} AS (SELECT word, freq, pos, sym, "
+            f"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s{p})"
+            f", pc{t} AS (SELECT sym AS a, nxt AS b, "
+            f"CAST(SUM(freq) AS BIGINT) AS cnt FROM n{t} "
+            "WHERE nxt IS NOT NULL GROUP BY a, b)"
+            f", b{t} AS MATERIALIZED (SELECT a, b, cnt FROM pc{t} "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+            f", m{t} AS (SELECT word, freq, pos, sym, nxt, "
+            f"(nxt IS NOT NULL AND sym = (SELECT a FROM b{t}) "
+            f"AND nxt = (SELECT b FROM b{t})) AS mk FROM n{t})"
+            f", i{t} AS (SELECT *, pos - row_number() OVER "
+            f"(PARTITION BY word, mk ORDER BY pos) AS isl FROM m{t})"
+            f", c{t} AS (SELECT *, mk AND ((pos - MIN(pos) OVER "
+            "(PARTITION BY word, mk, isl)) % 2 = 0) AS ch "
+            f"FROM i{t})"
+            f", d{t} AS MATERIALIZED (SELECT *, lag(ch) OVER "
+            f"(PARTITION BY word ORDER BY pos) AS pch FROM c{t})"
+            f", s{t} AS MATERIALIZED (SELECT word, freq, row_number() OVER "
+            "(PARTITION BY word ORDER BY pos) - 1 AS pos, "
+            "CASE WHEN ch THEN sym || nxt ELSE sym END AS sym "
+            f"FROM d{t} WHERE NOT COALESCE(pch, FALSE))"
+            f", r{t} AS (SELECT CAST({t} AS BIGINT) AS iteration, "
+            f"(SELECT a FROM b{t}) || ' ' || (SELECT b FROM b{t}) AS pair, "
+            f"(SELECT cnt FROM b{t}) AS pair_count, "
+            f"(SELECT CAST(COALESCE(SUM(freq), 0) AS BIGINT) FROM d{t} WHERE ch) "
+            "AS merged_occ, "
+            f"(SELECT CAST(SUM(freq) AS BIGINT) FROM s{t}) AS total_syms)"
+        )
+    tail = " " + " UNION ALL ".join(
+        f"SELECT * FROM r{t}" for t in range(1, iters + 1)
+    )
+    return head + "".join(steps) + tail
+
+
+@register(
+    "bpe_merge_curve",
+    oracle=_sql_bpe_oracle(),
+    doc="BPE tokenizer-training convergence curve: four FULL merge "
+    "iterations (pair counting -> argmax merge selection -> greedy "
+    "leftmost-non-overlapping application -> vocabulary re-spelling), "
+    "tracking per iteration the chosen pair, its raw adjacency count, the "
+    "freq-weighted number of merges actually applied, and the remaining "
+    "freq-weighted symbol total (the compression curve a tokenizer "
+    "trainer watches for diminishing returns). Scale design: ONE corpus-"
+    "linear shuffle builds the word-type/frequency vocabulary; every "
+    "iteration after that runs on the vocab x symbol frame (dimension "
+    "scale — bounded by total vocabulary characters, not corpus tokens): "
+    "one vocab-keyed pair aggregate, three word-partitioned windows, and "
+    "a 1-row driver collect for the argmax (the momentum_gd bounded-"
+    "scalar class, 2 rows x 4 iterations total). Greedy application is "
+    "regex-free — leftmost-non-overlapping occurrences are selected with "
+    "the gaps-and-islands window trick (runs of a self-pair like 'a a a a' "
+    "merge at even island offsets), so cross-engine parity needs no "
+    "regexp_replace semantics at all (RE2 has no lookarounds; the "
+    "ROUND_QUEUE risk note). All outputs are exact integers.",
+    tags=("curation", "tokenize_char", "iterative", "pipeline"),
+)
+def bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("text"))
+    words = docs.select(
+        F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')")).alias(
+            "word"
+        )
+    ).filter(F.col("word").rlike(_WORD_RE))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    syms = vocab.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("pos", "sym"),
+    ).select("word", "freq", F.col("pos").cast("long").alias("pos"), "sym")
+    syms = persist_tracked(syms)
+
+    w_word = Window.partitionBy("word").orderBy("pos")
+    total_syms = syms.agg(F.sum("freq")).collect()[0][0]
+
+    rows = []
+    for t in range(1, N_MERGES + 1):
+        n = syms.withColumn("nxt", F.lead("sym").over(w_word))
+        best = (
+            n.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, cnt = best["sym"], best["nxt"], int(best["cnt"])
+        m = n.withColumn(
+            "mk",
+            F.col("nxt").isNotNull() & (F.col("sym") == a) & (F.col("nxt") == b),
+        )
+        i = m.withColumn(
+            "isl",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("word", "mk").orderBy("pos")),
+        )
+        c = i.withColumn(
+            "ch",
+            F.col("mk")
+            & (
+                (
+                    F.col("pos")
+                    - F.min("pos").over(Window.partitionBy("word", "mk", "isl"))
+                )
+                % 2
+                == 0
+            ),
+        )
+        d = persist_tracked(c.withColumn("pch", F.lag("ch").over(w_word)))
+        merged_occ = int(
+            d.filter("ch").agg(F.coalesce(F.sum("freq"), F.lit(0))).collect()[0][0]
+        )
+        syms = persist_tracked(
+            d.filter(~F.coalesce(F.col("pch"), F.lit(False)))
+            .select(
+                "word",
+                "freq",
+                (F.row_number().over(w_word) - 1).cast("long").alias("pos"),
+                F.when(F.col("ch"), F.lit(a + b)).otherwise(F.col("sym")).alias(
+                    "sym"
+                ),
+            )
+        )
+        # each applied merge collapses exactly one (freq-weighted) symbol
+        total_syms -= merged_occ
+        rows.append(
+            Row(
+                iteration=t,
+                pair=f"{a} {b}",
+                pair_count=cnt,
+                merged_occ=merged_occ,
+                total_syms=int(total_syms),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+# --------------------------------------------------------------------------
+# repetition_quality_rules
+# --------------------------------------------------------------------------
+
+#: Gopher/MassiveText-style repetition gates (thresholds are the published
+#: rule family's shape; exact values tuned to the synthetic corpus).
+TOP_WORD_MAX = 0.20
+DUP_WORD_MAX = 0.30
+DUP_2GRAM_MAX = 0.20
+
+
+@register(
+    "repetition_quality_rules",
+    oracle=(
+        "WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '')) AS word FROM documents), "
+        "wc AS (SELECT doc_id, word, COUNT(*) AS c FROM t GROUP BY doc_id, word), "
+        "agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+        "CAST(SUM(c * length(word)) AS BIGINT) AS n_chars FROM wc GROUP BY doc_id), "
+        "top AS (SELECT doc_id, c * length(word) AS top_chars FROM ("
+        "SELECT doc_id, word, c, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY c DESC, word ASC) AS rk FROM wc) WHERE rk = 1), "
+        "tarr AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '') AS toks FROM documents), "
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+        "i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM tarr "
+        "WHERE len(toks) >= 2), "
+        "gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram), "
+        "g AS (SELECT doc_id, "
+        "CAST(SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS BIGINT) "
+        "AS dup2_chars, "
+        "CAST(SUM(c * length(gram)) AS BIGINT) AS tot2_chars "
+        "FROM gc GROUP BY doc_id) "
+        "SELECT agg.doc_id, agg.n_words, agg.n_words - agg.n_distinct AS n_dup_words, "
+        + sql_round_stable(
+            "CAST(top.top_chars AS DOUBLE) / agg.n_chars", 6
+        )
+        + " AS top_word_frac, "
+        + sql_round_stable(
+            "CAST(agg.n_words - agg.n_distinct AS DOUBLE) / agg.n_words", 6
+        )
+        + " AS dup_word_frac, "
+        + sql_round_stable("CAST(g.dup2_chars AS DOUBLE) / g.tot2_chars", 6)
+        + " AS dup_2gram_frac, "
+        f"({sql_round_stable('CAST(top.top_chars AS DOUBLE) / agg.n_chars', 6)}"
+        f" <= {TOP_WORD_MAX} AND "
+        f"{sql_round_stable('CAST(agg.n_words - agg.n_distinct AS DOUBLE) / agg.n_words', 6)}"
+        f" <= {DUP_WORD_MAX} AND "
+        f"{sql_round_stable('CAST(g.dup2_chars AS DOUBLE) / g.tot2_chars', 6)}"
+        f" <= {DUP_2GRAM_MAX}) AS keep "
+        "FROM agg JOIN top ON agg.doc_id = top.doc_id "
+        "JOIN g ON agg.doc_id = g.doc_id"
+    ),
+    doc="Per-document repetition quality gates (the MassiveText/Gopher "
+    "filter-rule family): top-word character share (is one token "
+    "dominating the doc), duplicate-word fraction (1 - type/token ratio, "
+    "kept as an exact integer numerator), duplicate-2gram character share "
+    "(boilerplate/templating signal), and the composite keep flag. Docs "
+    "need >= 2 tokens (a 2gram must exist) — enforced structurally by the "
+    "inner join against the 2gram frame, same semantics in the oracle. "
+    "All three ratios are exact-integer numerator/denominator pushed "
+    "through ONE stable-rounded division each, so the keep flag compares "
+    "identically cross-engine. Scale: two corpus-linear explodes keyed by "
+    "(doc_id, token) with map-side combine, per-doc windows bounded by "
+    "per-doc vocabulary — no global state, trivially 100 TB-safe.",
+    tags=("curation", "quality", "agg_count_by_key"),
+)
+def repetition_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+    )
+    words = toks.select("doc_id", F.explode("toks").alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.length("word")).cast("long").alias("n_chars"),
+    )
+    top = (
+        wc.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("word"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", (F.col("c") * F.length("word")).alias("top_chars"))
+    )
+    g2 = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("gram"),
+    )
+    gc = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    g = gc.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dup2_chars"),
+        F.sum(F.col("c") * F.length("gram")).cast("long").alias("tot2_chars"),
+    )
+    top_frac = round_stable(
+        F.col("top_chars").cast("double") / F.col("n_chars"), 6
+    )
+    dup_frac = round_stable(
+        (F.col("n_words") - F.col("n_distinct")).cast("double") / F.col("n_words"), 6
+    )
+    dup2_frac = round_stable(
+        F.col("dup2_chars").cast("double") / F.col("tot2_chars"), 6
+    )
+    return (
+        agg.join(top, "doc_id")
+        .join(g, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.col("n_distinct")).alias("n_dup_words"),
+            top_frac.alias("top_word_frac"),
+            dup_frac.alias("dup_word_frac"),
+            dup2_frac.alias("dup_2gram_frac"),
+            (
+                (top_frac <= TOP_WORD_MAX)
+                & (dup_frac <= DUP_WORD_MAX)
+                & (dup2_frac <= DUP_2GRAM_MAX)
+            ).alias("keep"),
+        )
+    )

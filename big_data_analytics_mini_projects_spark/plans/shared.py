@@ -16,7 +16,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import h64_sql
-from ..operators.aggregates import sql_dsum
+from ..operators.aggregates import dsum, sql_dsum
+from ..caching import persist_tracked
+from ..functions.text import round_stable, sql_round_stable
 from ..operators.relational import last_per_key
 from ..sources.tables import load_table
 
@@ -243,3 +245,95 @@ NEAR_MIN_COS = 0.35
 #: pagerank_trade_graph and round12q's pagerank_convergence_curve.
 DAMPING = 0.85
 N_PR_ITERS = 3
+
+
+# -- temperature-mix family (originally plans/round12q.py; moved so the
+# streaming twin in round13q shares weights + oracle text without a
+# module-level import of round12q) --------------------------------------
+
+#: Mixing temperatures — ONLY sqrt-composed powers (1, 1/2, 1/4): IEEE
+#: sqrt is correctly rounded in both engines, pow(x, 0.7) is not.
+ALPHA_SWEEP = (1.0, 0.5, 0.25)
+
+#: Token budget for the expected-tokens column: half the corpus.
+MIX_BUDGET_DEN = 2
+
+
+def _sql_alpha_w(alpha: float, m: str) -> str:
+    if alpha == 1.0:
+        return f"CAST({m} AS DOUBLE)"
+    if alpha == 0.5:
+        return sql_round_stable(f"sqrt(CAST({m} AS DOUBLE))", 6)
+    if alpha == 0.25:
+        return sql_round_stable(f"sqrt(sqrt(CAST({m} AS DOUBLE)))", 6)
+    raise ValueError(alpha)
+
+
+def sql_temperature_oracle() -> str:
+    """Shared verbatim by temperature_mix_rates (round12q) and its
+    streaming twin streaming_mix_shares (round13q): identical result
+    contract, one oracle text."""
+    blocks = " UNION ALL ".join(
+        f"SELECT {a}::DOUBLE AS alpha, source, m, {_sql_alpha_w(a, 'm')} AS w "
+        "FROM tot"
+        for a in ALPHA_SWEEP
+    )
+    return (
+        "WITH d AS (SELECT source, "
+        "len(list_filter(string_split(lower(text), ' '), x -> x <> '')) "
+        "AS n_tok FROM documents), "
+        "tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS m FROM d "
+        "GROUP BY source), "
+        f"aw AS ({blocks}), "
+        f"den AS (SELECT alpha, {sql_dsum('w', 6)} AS denom, "
+        "CAST(SUM(m) AS BIGINT) AS total FROM aw GROUP BY alpha) "
+        "SELECT aw.alpha, aw.source, aw.m AS src_tok, "
+        + sql_round_stable("aw.w / den.denom", 6)
+        + " AS share, "
+        + sql_round_stable(
+            f"{sql_round_stable('aw.w / den.denom', 6)} "
+            f"* (den.total // {MIX_BUDGET_DEN})",
+            2,
+        )
+        + " AS exp_tokens "
+        "FROM aw JOIN den ON aw.alpha = den.alpha"
+    )
+
+
+def mix_shares_frame(tot: DataFrame) -> DataFrame:
+    """Temperature-mix share sweep over a per-source token-total frame
+    ``tot(source, m)`` — everything here runs on the sources DIMENSION
+    frame (|sources| x 3 rows), so batch and streaming twins share this
+    tail verbatim. Weights are stably rounded to 6 decimals BEFORE the
+    exact decimal denominator sum, so partition order cannot perturb any
+    share (the round12q cross-engine contract)."""
+    m_dbl = F.col("m").cast("double")
+    aw = None
+    for a in ALPHA_SWEEP:
+        if a == 1.0:
+            w = m_dbl
+        elif a == 0.5:
+            w = round_stable(F.sqrt(m_dbl), 6)
+        else:
+            w = round_stable(F.sqrt(F.sqrt(m_dbl)), 6)
+        part = tot.select(
+            F.lit(a).alias("alpha"), "source", "m", w.alias("w")
+        )
+        aw = part if aw is None else aw.unionByName(part)
+    aw = persist_tracked(aw)
+    den = aw.groupBy("alpha").agg(
+        dsum(F.col("w"), 6).alias("denom"), F.sum("m").alias("total")
+    )
+    share = round_stable(F.col("w") / F.col("denom"), 6)
+    return (
+        aw.join(F.broadcast(den), "alpha")
+        .select(
+            "alpha",
+            "source",
+            F.col("m").alias("src_tok"),
+            share.alias("share"),
+            round_stable(
+                share * F.expr(f"total div {MIX_BUDGET_DEN}"), 2
+            ).alias("exp_tokens"),
+        )
+    )

@@ -357,6 +357,52 @@ def stream_token_budget(docs: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def stream_source_token_totals(docs: DataFrame) -> DataFrame:
+    """Stateful streaming per-source token-total tracker
+    (applyInPandasWithState, append mode): the stateful head of the
+    temperature-mix streaming twin (plans/round13q.streaming_mix_shares).
+
+    Per source the state is ONE long — the cumulative whitespace-token
+    count over every doc seen so far. Each micro-batch folds its rows in
+    and append-emits ONE refreshed (source, m) total per touched domain:
+    the per-batch share-drift feed (the dimension-scale mix computation
+    downstream re-derives the alpha-sweep shares from these totals, so a
+    live stream yields a share TIME SERIES as sources grow at different
+    rates). Over an availableNow run the whole table arrives as one batch
+    per key, so the emitted frame is exactly the batch twin's per-source
+    totals bit-for-bit. Tokenization runs JVM-side before the Arrow hop
+    (pandas only sums a long column); state is one counter per domain at
+    any corpus size. NULL-source parity with stream_domain_drift: the
+    batch twin's GROUP BY source keeps a NULL group only if the documents
+    table carries one — it does not, and the shared oracle text groups the
+    same way, so no filter is needed here; a NULL key would round-trip as
+    its own state group identically in both twins."""
+    import pandas as pd  # local: Arrow path only materializes on executors
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t = docs.select(
+        "source",
+        F.size(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+
+    def update(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += int(pdf["n_tok"].sum())
+        state.update((int(total),))
+        yield pd.DataFrame({"source": [key[0]], "m": [int(total)]})
+
+    return t.groupBy("source").applyInPandasWithState(
+        update,
+        "source string, m long",
+        "m long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_domain_drift(docs: DataFrame) -> DataFrame:
     """Stateful streaming per-domain language-drift monitor
     (applyInPandasWithState, append mode): the streaming twin of

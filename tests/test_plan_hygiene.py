@@ -302,6 +302,15 @@ def test_round11q_round12q_shapes_pinned(spark, sf_dir):
         assert "RunningWindowFunction" not in plan, name
         assert not re.search(r"\bWindow ", plan), name
 
+    # cluster_size_histogram must REUSE the persisted CC labels, never run
+    # a second CC chain: both consumers (size histogram + singleton
+    # subtraction) read the same InMemoryTableScan, and the only parquet
+    # scan left is the column-pruned corpus count (ReadSchema []).
+    ch = QUERIES["cluster_size_histogram"].build(spark, sf_dir)
+    plan = ch._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert plan.count("InMemoryTableScan") >= 2, plan.count("InMemoryTableScan")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
     sc = QUERIES["srp_recall_probe_curve"].build(spark, sf_dir)
     plan = sc._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     # a CONSTANT number of vectors-table scans (truth pass, bucket/vector
