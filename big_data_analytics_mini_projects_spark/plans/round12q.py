@@ -154,7 +154,12 @@ def pack_efficiency_core(s: DataFrame) -> DataFrame:
 # ALPHA_SWEEP / MIX_BUDGET_DEN / the oracle text / the dimension-frame
 # share sweep live in plans/shared.py since round 8 (the streaming twin
 # streaming_mix_shares shares them without importing this module).
-from .shared import mix_shares_frame, sql_temperature_oracle  # noqa: E402
+from .shared import (  # noqa: E402
+    ALPHA_SWEEP,  # noqa: F401  (re-export: tests + docs cite this module)
+    MIX_BUDGET_DEN,  # noqa: F401
+    mix_shares_frame,
+    sql_temperature_oracle,
+)
 
 
 @register(

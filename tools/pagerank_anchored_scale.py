@@ -152,9 +152,12 @@ class DiskGuard(threading.Thread):
 
 def main() -> None:
     replicas = 100
+    curve = False
     for a in sys.argv[1:]:
         if a.startswith("--replicas="):
             replicas = int(a.split("=", 1)[1])
+        if a == "--curve":
+            curve = True
     dst = os.path.join(_REPO_DIR, ".scratch", f"pr_disjoint_x{replicas}")
     build(replicas, dst)
 
@@ -175,6 +178,15 @@ def main() -> None:
         #    x1000), eliminating the 1.17B-edge SortMergeJoin re-shuffle in
         #    the transition-matrix build;
         .config("spark.sql.autoBroadcastJoinThreshold", "1g")
+        # 3. zstd for shuffle files and spilled cache blocks (~30-40%
+        #    smaller than the lz4 default at these string-keyed row shapes)
+        #    and a higher protected-storage fraction so more of the two
+        #    live edge caches stays in memory instead of spilling — the
+        #    second x1000 attempt showed the un-freeable working set (e0 +
+        #    transition-matrix caches, ~54 GB uncompressed) is what
+        #    overflows the disk, not the GC-able shuffles.
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.memory.storageFraction", "0.7")
         # 2. shuffle files are only deleted when their ShuffleDependency is
         #    GC'd (ContextCleaner): with a 96g heap the driver may not GC
         #    for the whole run, so consumed phase-1 shuffles (the
@@ -198,6 +210,10 @@ def main() -> None:
                 return
 
     threading.Thread(target=_gc_loop, daemon=True).start()
+
+    if curve:
+        run_curve(spark, guard, dst, replicas)
+        return
 
     spec = QUERIES["pagerank_trade_graph"]
     t0 = time.perf_counter()
@@ -255,6 +271,65 @@ def main() -> None:
     assert n == replicas * len(base), (n, replicas, len(base))
     assert mass_err < 1e-6, mass_err
     assert max_diff <= 1.01e-4, max_diff
+    print("PASS", flush=True)
+
+
+def run_curve(spark, guard, dst: str, replicas: int) -> None:
+    """pagerank_convergence_curve at scale via EXACT linearity: on the
+    disjoint K-replica graph every node's per-iteration (r * N) terms equal
+    the base graph's (see module docstring), and the curve's l1_delta /
+    total_mass are sums of those per-node 4-decimal-rounded terms — so the
+    scaled values must equal EXACTLY K x the base oracle's values (exact
+    decimal sums of K identical copies). Engine runs the full scaled graph;
+    the oracle runs at base sf0.1 — same shape as the anchor comparison,
+    pinning all three iterations of the iterate-join-aggregate pipeline."""
+    from big_data_analytics_mini_projects_spark.plans.round12q import (
+        _sql_pr_curve_oracle,
+    )
+
+    spec = QUERIES["pagerank_convergence_curve"]
+    t0 = time.perf_counter()
+    try:
+        got = {
+            r["iteration"]: (r["n_nodes"], r["l1_delta"], r["total_mass"])
+            for r in spec.build(spark, dst).collect()
+        }
+    except Exception:
+        if guard.tripped:
+            print(
+                f"PAGERANK_CURVE x{replicas}: ABORTED by disk guard; "
+                f"min_free_gb={guard.min_free_gb:.1f}",
+                flush=True,
+            )
+            return
+        raise
+    wall = time.perf_counter() - t0
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        )
+    base = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_sql_pr_curve_oracle(materialized=True)).fetchall()
+    }
+    assert set(got) == set(base), (sorted(got), sorted(base))
+    max_rel = 0.0
+    for it, (n_b, l1_b, m_b) in base.items():
+        n_g, l1_g, m_g = got[it]
+        assert n_g == replicas * n_b, (it, n_g, n_b)
+        for g, b in ((l1_g, replicas * l1_b), (m_g, replicas * m_b)):
+            rel = abs(g - b) / max(abs(b), 1e-12)
+            max_rel = max(max_rel, rel)
+    print(
+        f"PAGERANK_CURVE x{replicas} dir={dst} wall_s={wall:.1f} "
+        f"iters={sorted(got)} max_rel_err_vs_Kx_base={max_rel:.2e} "
+        f"min_free_gb={guard.min_free_gb:.1f}",
+        flush=True,
+    )
+    guard.stop()
+    assert max_rel <= 5e-7, max_rel
     print("PASS", flush=True)
 
 
