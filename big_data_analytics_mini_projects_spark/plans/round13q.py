@@ -31,10 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Row, SparkSession, Window, functions as F
 
 from ..caching import persist_tracked
+from ..functions.hashing import h64, h64_sql
 from ..functions.text import round_stable, sql_round_stable
 from ..sources.tables import load_table, spread
 from .registry import register
-from .shared import mix_shares_frame, sql_temperature_oracle
+from .shared import ES_K, mix_shares_frame, span_col, sql_temperature_oracle
 
 # --------------------------------------------------------------------------
 # streaming_mix_shares
@@ -384,4 +385,74 @@ def repetition_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (dup2_frac <= DUP_2GRAM_MAX)
             ).alias("keep"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# span_novelty_scan
+# --------------------------------------------------------------------------
+
+
+@register(
+    "span_novelty_scan",
+    oracle=(
+        "WITH tarr AS (SELECT doc_id, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks "
+        "FROM documents), "
+        f"sp AS (SELECT doc_id, unnest(range(0, len(toks) - {ES_K - 1})) AS pos, "
+        "toks FROM tarr), "
+        "sh AS (SELECT doc_id, "
+        + h64_sql(f"array_to_string(toks[pos + 1:pos + {ES_K}], ' ')", "es")
+        + " AS h FROM sp), "
+        "dh AS (SELECT DISTINCT doc_id, h FROM sh), "
+        "mult AS (SELECT h, COUNT(*) AS nd FROM dh GROUP BY h), "
+        "j AS (SELECT sh.doc_id, CASE WHEN mult.nd > 1 THEN 1 ELSE 0 END AS mem "
+        "FROM sh JOIN mult ON sh.h = mult.h) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+        "CAST(SUM(mem) AS BIGINT) AS n_memorized, "
+        + sql_round_stable("1.0 - CAST(SUM(mem) AS DOUBLE) / COUNT(*)", 6)
+        + " AS novelty_ratio "
+        "FROM j GROUP BY doc_id"
+    ),
+    doc="Span-level memorization/novelty accounting (the eval-contamination "
+    "and train-data-memorization audit view): every overlapping ES_K=12-"
+    "token span of every document is hashed (the exact-substring dedup "
+    "family's span stream, shared ES_K/seed so numbers line up with "
+    "dedup_exact_substring), a span OCCURRENCE counts as memorized when "
+    "its hash appears in at least one OTHER document, and each doc "
+    "reports its span count, memorized-span count, and novelty ratio. "
+    "Documents shorter than 12 tokens have no spans and drop out "
+    "structurally (same semantics in both engines). Scale: one span "
+    "explode (per-row transform, zero scatter — span_col), one distinct "
+    "+ count per span hash, one hash-keyed equi-join back; everything is "
+    "corpus-linear on the span stream, and the multi-doc flag frame is "
+    "bounded by distinct spans. The novelty ratio is one exact-integer "
+    "division, stable-rounded.",
+    tags=("dedup", "curation", "quality", "agg_count_by_key"),
+)
+def span_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+    )
+    spans = toks.select(
+        "doc_id", F.explode(span_col("toks", ES_K)).alias("span")
+    ).select("doc_id", h64("span", "es").alias("h"))
+    spans = persist_tracked(spans)
+    mult = (
+        spans.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    j = spans.join(mult, "h").select(
+        "doc_id", F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0)).alias("mem")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("mem").cast("long").alias("n_memorized"),
+        round_stable(
+            F.lit(1.0) - F.sum("mem").cast("double") / F.count(F.lit(1)), 6
+        ).alias("novelty_ratio"),
     )

@@ -119,14 +119,38 @@ def test_repetition_rules_invariants(spark, duck, sf_dir):
     assert 0 < kept
 
 
+def test_span_novelty_invariants(spark, sf_dir):
+    """Novelty accounting must reconcile with the exact-substring dedup
+    family: spans are the same ES_K stream, so any doc reported by
+    dedup_exact_substring as carrying repeated spans must show memorized
+    spans here, and ratios are exact-integer consistent."""
+    rows = QUERIES["span_novelty_scan"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_memorized"] <= r["n_spans"]
+        assert 0.0 <= r["novelty_ratio"] <= 1.0
+        if r["n_memorized"] == 0:
+            assert r["novelty_ratio"] == 1.0
+    # cross-family reconciliation: docs with cross-doc repeated spans
+    # (dedup_exact_substring reports rep_tokens > 0) must be non-novel here
+    es = {
+        r["doc_id"]
+        for r in QUERIES["dedup_exact_substring"].build(spark, sf_dir).collect()
+    }
+    nv = {r["doc_id"]: r for r in rows}
+    for doc_id in es:
+        assert doc_id in nv and nv[doc_id]["n_memorized"] > 0, doc_id
+
+
 def test_round13q_differential(spark, duck, sf_dir):
-    """Local mirror of the driver gate for the three new queries (they sit
+    """Local mirror of the driver gate for the four new queries (they sit
     at the catalog tail, outside the round-8 window — first driver verdict
     lands with the round-9 rotation)."""
     for name in (
         "streaming_mix_shares",
         "bpe_merge_curve",
         "repetition_quality_rules",
+        "span_novelty_scan",
     ):
         spec = QUERIES[name]
         assert_df_equal(spec.build(spark, sf_dir), duck, spec.oracle)
