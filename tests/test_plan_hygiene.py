@@ -318,3 +318,38 @@ def test_round11q_round12q_shapes_pinned(spark, sf_dir):
     # independent of the probe count: a per-probe re-join would scale scans
     # with len(PROBE_SWEEP)
     assert plan.count("Scan parquet") <= 12, plan.count("Scan parquet")
+
+
+def test_round13q_shapes_pinned(spark, sf_dir):
+    """Pin the round13q scale shapes. (a) repetition_quality_rules is
+    doc_id-co-partitioned end to end: every exchange hashes doc_id first
+    (the (doc_id, token) aggs and the per-doc joins reuse the same
+    distribution; join strategy is left to AQE — broadcast at driver SFs,
+    co-partitioned SMJ at scale). (b) span_novelty_scan touches only the
+    two designed keys: doc_id frames and the uniform 60-bit span hash h —
+    the span expansion itself is a per-row transform (no span-keyed
+    scatter), and the corpus parquet is scanned at most twice (the span
+    stream feeding both the distinct-doc count and the join-back rides one
+    persisted frame)."""
+    import re
+
+    spark.catalog.clearCache()
+
+    rq = QUERIES["repetition_quality_rules"].build(spark, sf_dir)
+    plan = rq._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all(e.startswith("doc_id#") for e in exchanges), exchanges
+    assert "SortMergeJoin" not in plan or all(
+        k.startswith("doc_id#")
+        for keys in re.findall(r"SortMergeJoin\w* \[([^\]]*)\]", plan)
+        for k in keys.split(", ")
+    )
+
+    sn = QUERIES["span_novelty_scan"].build(spark, sf_dir)
+    plan = sn._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all(
+        e.startswith("doc_id#") or e.startswith("h#") for e in exchanges
+    ), exchanges
+    assert "span" not in " ".join(exchanges)
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
