@@ -35,7 +35,16 @@ from ..functions.hashing import h64, h64_sql
 from ..functions.text import round_stable, sql_round_stable
 from ..sources.tables import load_table, spread
 from .registry import register
-from .shared import ES_K, mix_shares_frame, span_col, sql_temperature_oracle
+from .shared import (
+    _W_AVGLEN,
+    _W_BIAS,
+    _W_NTOK,
+    _W_STOP,
+    ES_K,
+    mix_shares_frame,
+    span_col,
+    sql_temperature_oracle,
+)
 
 # --------------------------------------------------------------------------
 # streaming_mix_shares
@@ -455,4 +464,179 @@ def span_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_stable(
             F.lit(1.0) - F.sum("mem").cast("double") / F.count(F.lit(1)), 6
         ).alias("novelty_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_length_percentiles_by_source
+# --------------------------------------------------------------------------
+
+#: Percentiles as integer hundredths — rank = ceil(n*k/100) computed as
+#: (n*k + 99) // 100, pure integer arithmetic in both engines (no float
+#: quantile-interpolation semantics to reconcile: DuckDB's quantile_cont /
+#: Spark's percentile interpolate differently, so neither is used).
+PCTS = (25, 50, 75, 95)
+
+
+@register(
+    "doc_length_percentiles_by_source",
+    oracle=(
+        "WITH t AS (SELECT source, doc_id, "
+        "len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok "
+        "FROM documents), "
+        "r AS (SELECT source, n_tok, "
+        "row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY source) AS n FROM t) "
+        "SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs, "
+        + ", ".join(
+            f"CAST(MAX(CASE WHEN rn = (n * {k} + 99) // 100 THEN n_tok END) "
+            f"AS BIGINT) AS p{k}"
+            for k in PCTS
+        )
+        + " FROM r GROUP BY source"
+    ),
+    doc="Exact per-source document-length percentiles (p25/p50/p75/p95 of "
+    "the whitespace token count) — the length-distribution profile a "
+    "curation pipeline reads before setting min/max-length filters per "
+    "source. Percentile semantics are the rank-based 'value at rank "
+    "ceil(q*n)' definition computed in PURE INTEGER arithmetic "
+    "((n*k + 99) div 100), because the engines' built-in continuous "
+    "quantiles interpolate differently and would never hash-match. One "
+    "rank window partitioned by source (bounded per-source state) + one "
+    "conditional aggregate; corpus-linear, one shuffle, dimension-scale "
+    "output.",
+    tags=("quality", "curation", "window", "agg_count_by_key"),
+)
+def doc_length_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("source", "doc_id", "text"))
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.expr("filter(split(lower(text), ' '), x -> x <> '')")).alias(
+            "n_tok"
+        ),
+    )
+    w = Window.partitionBy("source")
+    r = t.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w.orderBy("n_tok", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"(n * {k} + 99) div 100"), F.col("n_tok")
+                )
+            )
+            .cast("long")
+            .alias(f"p{k}")
+            for k in PCTS
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_canonical_quality
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_canonical_quality",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, text, md5(array_to_string(toks[1:{ES_K}], ' ')) "
+        f"AS grp FROM t WHERE len(toks) >= {ES_K}), "
+        "feats AS (SELECT doc_id, grp, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, "
+        "CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_wlen, "
+        "CAST(len(regexp_extract_all(text, '\\bthe\\b')) AS BIGINT) AS n_stop "
+        "FROM g), "
+        f"w AS (SELECT {_W_BIAS}::DOUBLE AS w_bias, {_W_NTOK}::DOUBLE AS w_ntok, "
+        f"{_W_AVGLEN}::DOUBLE AS w_avglen, {_W_STOP}::DOUBLE AS w_stop), "
+        "s AS (SELECT doc_id, grp, "
+        + sql_round_stable(
+            "((w_bias + w_ntok * n_tok) + w_avglen * avg_wlen) + w_stop * n_stop", 6
+        )
+        + " AS score FROM feats CROSS JOIN w), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY grp "
+        "ORDER BY score DESC, doc_id ASC) AS rk, "
+        "COUNT(*) OVER (PARTITION BY grp) AS n, "
+        "MIN(score) OVER (PARTITION BY grp) AS worst "
+        "FROM s) "
+        "SELECT grp, CAST(n AS BIGINT) AS n_docs, "
+        "doc_id AS keeper, score AS keeper_score, "
+        "CAST(n - 1 AS BIGINT) AS n_dropped, "
+        + sql_round_stable("score - worst", 6)
+        + " AS score_spread "
+        "FROM r WHERE rk = 1 AND n > 1"
+    ),
+    doc="Quality-aware canonicalization of shared-opening boilerplate "
+    "groups: docs whose first ES_K=12 whitespace tokens are identical "
+    "(the prefix-blocking near-dup class — templated/boilerplate openings "
+    "that exact-hash dedup misses because tails differ) are grouped by "
+    "the prefix hash, and the KEEPER is the member with the best quality-"
+    "classifier score (shared _W_* weights and feature expressions of "
+    "quality_classifier_score, plans/privacyq.py) instead of dedup_exact's "
+    "min-doc_id rule — what a real pipeline does: keep the best variant, "
+    "drop the rest. Selection ranks by the 6-decimal stable-rounded score "
+    "on BOTH engines (ties fall to doc_id ASC), so the argmax is cross-"
+    "engine deterministic even at 1-ulp logit differences; score_spread "
+    "(best - worst) quantifies what dropping costs. Docs shorter than 12 "
+    "tokens have no prefix and drop out structurally. One map-side "
+    "feature+hash pass with the broadcast 1-row weights frame, one group-"
+    "keyed window — corpus-linear, one shuffle.",
+    tags=("dedup", "curation", "quality", "window"),
+)
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = docs.select(
+        "doc_id",
+        "text",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+    ).filter(F.size("toks") >= ES_K)
+    feats = t.select(
+        "doc_id",
+        F.md5(F.expr(f"array_join(slice(toks, 1, {ES_K}), ' ')")).alias("grp"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        (
+            F.length("text").cast("double") / F.size(F.split(F.col("text"), " "))
+        ).alias("avg_wlen"),
+        F.regexp_count(F.col("text"), F.lit(r"\bthe\b")).cast("long").alias("n_stop"),
+    )
+    w = docs.sparkSession.range(1).select(
+        F.lit(_W_BIAS).alias("w_bias"),
+        F.lit(_W_NTOK).alias("w_ntok"),
+        F.lit(_W_AVGLEN).alias("w_avglen"),
+        F.lit(_W_STOP).alias("w_stop"),
+    )
+    z = (
+        (F.col("w_bias") + F.col("w_ntok") * F.col("n_tok"))
+        + F.col("w_avglen") * F.col("avg_wlen")
+    ) + F.col("w_stop") * F.col("n_stop")
+    s = feats.crossJoin(F.broadcast(w)).select(
+        "doc_id", "grp", round_stable(z, 6).alias("score")
+    )
+    wh = Window.partitionBy("grp")
+    r = s.select(
+        "doc_id",
+        "grp",
+        "score",
+        F.row_number()
+        .over(wh.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wh).alias("n"),
+        F.min("score").over(wh).alias("worst"),
+    )
+    return r.filter((F.col("rk") == 1) & (F.col("n") > 1)).select(
+        "grp",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("doc_id").alias("keeper"),
+        F.col("score").alias("keeper_score"),
+        (F.col("n") - 1).cast("long").alias("n_dropped"),
+        round_stable(F.col("score") - F.col("worst"), 6).alias("score_spread"),
     )

@@ -59,6 +59,8 @@ BNLJ_OK = {
     "tpch_q22_dormant_customers", # avg positive balance scalar
     # broadcast 1-row model-weights frame
     "quality_classifier_score",
+    # broadcast 1-row model-weights frame (quality-aware canonicalization)
+    "dedup_canonical_quality",
     # broadcast 1-row corpus-count frame driving the occupancy-rule band
     # width (round-6 retune)
     "dedup_embedding_bucketed",

@@ -154,3 +154,30 @@ def test_round13q_differential(spark, duck, sf_dir):
     ):
         spec = QUERIES[name]
         assert_df_equal(spec.build(spark, sf_dir), duck, spec.oracle)
+
+
+def test_doc_length_percentiles_invariants(spark, sf_dir):
+    rows = QUERIES["doc_length_percentiles_by_source"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] > 0
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
+
+
+def test_dedup_canonical_quality_invariants(spark, sf_dir):
+    """Keeper selection must reconcile with the classifier: the keeper's
+    score is the group max (spread >= 0), groups are genuine (>= 2 docs),
+    and every keeper carries the group's best quality_classifier_score
+    among its members."""
+    rows = QUERIES["dedup_canonical_quality"].build(spark, sf_dir).collect()
+    assert rows, "fixture must contain shared-opening boilerplate groups"
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert r["n_dropped"] == r["n_docs"] - 1
+        assert r["score_spread"] >= 0.0
+
+
+def test_round13q_batch2_differential(spark, duck, sf_dir):
+    for name in ("doc_length_percentiles_by_source", "dedup_canonical_quality"):
+        spec = QUERIES[name]
+        assert_df_equal(spec.build(spark, sf_dir), duck, spec.oracle)
