@@ -51,15 +51,33 @@ def main() -> None:
             # the affected queries will record their own failures below
             print(f"BENCH WARMUP SKIP {t}: {type(e).__name__}", file=sys.stderr)
 
-    # Untimed JIT warmup: one representative query end-to-end before any
-    # timing. Whole-stage-codegen compilation costs land on whichever
+    # Untimed JIT warmup: one DEDICATED non-catalog plan end-to-end before
+    # any timing. Whole-stage-codegen compilation costs land on whichever
     # queries run FIRST in the suite — measured in round 8, rotating the
     # catalog order moved ~0.5-1.5 s between queries purely by position
-    # (BASELINE.md round-8 protocol note). One untimed run absorbs the
-    # session-level share so per-query numbers compare across rotations.
+    # (BASELINE.md round-8 protocol note). The warmup is deliberately NOT a
+    # catalog query (round-8 ADVICE): warming the first catalog entry left
+    # that family's persisted intermediates hot, so its queries_cold number
+    # stopped being cold AND silently changed with every rotation. This plan
+    # touches the main codegen templates (parquet scan, partial+final
+    # HashAggregate, broadcast join, window, sort, noop sink) and persists
+    # nothing.
     try:
-        first = next(iter(QUERIES.values()))
-        first.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        o = load_table(spark, sf_dir, "orders")
+        n = load_table(spark, sf_dir, "nation")
+        warm = (
+            o.groupBy("o_orderstatus")
+            .agg(_F.sum("o_totalprice").alias("s"), _F.count(_F.lit(1)).alias("c"))
+            .crossJoin(_F.broadcast(n.select("n_nationkey")))
+            .withColumn(
+                "r", _F.row_number().over(_W.partitionBy("o_orderstatus").orderBy("n_nationkey"))
+            )
+            .orderBy("o_orderstatus", "r")
+        )
+        warm.write.format("noop").mode("overwrite").save()
     except Exception as e:
         print(f"BENCH WARMUP SKIP query: {type(e).__name__}", file=sys.stderr)
 

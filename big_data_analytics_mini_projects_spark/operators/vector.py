@@ -202,13 +202,28 @@ def cosine_topk_ivf(
 
 
 def embedding_near_pairs(
-    vectors: DataFrame, min_cos: float, key: str = "vec_id"
+    vectors: DataFrame, min_cos: float, key: str = "vec_id", max_rows: int = 50_000
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (ka < kb, cos >= min_cos).
 
     All-pairs within the given frame; callers bound the frame (subset,
     bucket, or cell) — the hyperplane sketch below is the standard way to
-    bound it at scale."""
+    bound it at scale. The bound is ENFORCED (round-8 verdict item 6): the
+    input is counted up front and a frame larger than ``max_rows`` raises
+    rather than silently planning a corpus x corpus cross join (50k rows is
+    already 1.25e9 pair evaluations — the labeled brute-force ceiling; a
+    caller that genuinely wants more must say so explicitly)."""
+    if max_rows is not None:
+        # limit(max_rows + 1) keeps the guard itself cheap on huge inputs:
+        # the count job stops scanning after the first excess row.
+        n = vectors.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_pairs: input has > {max_rows} rows; "
+                "all-pairs cosine is quadratic — block it first "
+                "(hyperplane_buckets / IVF cells) or raise max_rows "
+                "explicitly if a brute-force slice this large is intended"
+            )
     a = vectors.select(F.col(key).alias("ka"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = vectors.select(F.col(key).alias("kb"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     return (

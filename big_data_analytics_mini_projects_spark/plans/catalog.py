@@ -6,48 +6,44 @@ exactly this catalog to the verification driver.
 
 REGISTRATION ORDER MATTERS: the correctness driver verifies exactly the FIRST
 50 catalog entries per round (registration order == import order below, then
-decorator order within a module; 50 confirmed by CORRECTNESS_r03..r07 all
+decorator order within a module; 50 confirmed by CORRECTNESS_r03..r08 all
 holding exactly the first-50 set of their round's ordering).
 
-ROUND-8 WINDOW (round-7 verdict items 1+5 + ROUND_QUEUE round-8 queue):
+ROUND-9 WINDOW (round-8 verdict items 1+2+3 + ROUND_QUEUE round-9 queue):
 
-  1. round9q (3) + round10q (7) — round-7-authored, never driver-verified:
-     dedup_substring_withindoc, streaming_sliding_counts, ann_ivf_lloyd;
-     retention_value_bands, vocab_growth_curve, domain_cap_sweep,
-     event_value_mad_outliers, ann_recall_ivf, streaming_late_data_drop,
-     lloyd_convergence_curve.
-  2. similarityq (10) — required before round11q/round12q (both import its
-     helpers at module level), and itself due: minhash_fast_jaccard is the
-     r5-stale green (verdict item 5); the dedup family rides along.
-  3. round11q (5) + round12q (7) — the round-7 extension/continuation
-     forward batches, never driver-verified: watermark_sensitivity_hourly,
-     retention_quality_bridge, srp_recall_probe_curve, lsh_recall_precision,
-     quality_threshold_sweep; pack_efficiency_sweep, temperature_mix_rates,
-     cluster_size_histogram, minhash_error_accounting,
-     dedup_threshold_sensitivity, banded_width_recall,
-     pagerank_convergence_curve.
-  4. multimodalq (10) — holds 6 of the 8 streaming twins re-staled by the
-     round-7 stream_stats.py edits (ROUND_QUEUE item b); the 4 multimodal
-     codecs ride along.
-  5. mlq (1) + linalgq (2) — the r5/r4-stale greens momentum_gd_linreg and
-     the matmul/scan_coo family (verdict item 5).
-  6. streamequivq (1) + qaq (first 4) — the remaining stream twins
-     (streaming_batch_equiv_hourly; streaming_session_windows at position
-     50). qaq's last entry range_overlap_sessions is the planned position-51
-     spill (r6 green, batch-only — no stream_stats dependency; same-session
-     local differential recorded in ROUND_QUEUE instead).
+  1. round13q (6) — round-8-authored, never driver-verified:
+     streaming_mix_shares, bpe_merge_curve, repetition_quality_rules,
+     span_novelty_scan, doc_length_percentiles_by_source,
+     dedup_canonical_quality.
+  2. round14q (2) — the round-9 fresh budget (≤2 after round12q ×7 +
+     round13q ×6 consumed 13/15): dedup_state_compaction,
+     dedup_compaction_curve — the incremental MinHash-LSH state-maintenance
+     twins of incremental_snapshot_merge (verdict item 3).
+  3. round7q (9) + vectorq (3) + round8q (8) + privacyq (2) + graphq (1) —
+     the round-8 import-relocation re-stales: their definitions moved to
+     plans/shared.py re-imports AFTER their last driver verdicts; oracles
+     byte-identical, but the standing rule re-windows a changed module.
+  4. baselineq (4) — re-staled THIS round: operators/vector.py's
+     embedding_near_pairs gained an enforced row bound (round-8 verdict
+     item 6) and dedup_embedding_cosine is its only catalog consumer
+     (vectorq, the other vector.py importer, is already in tier 3).
+     baselineq imports vectorq at module level, so it must sit after it.
+  5. curationq (7) + qualityq (2) + fuzzydedupq (1) + statsq (5) — the
+     oldest driver greens (r4 cohort: all of curationq/qualityq/
+     fuzzydedupq plus statsq's corr_price_quantity; statsq's four r7 OLS
+     entries ride along). tpchx (3, also r4) does not fit this window —
+     same-session local differential recorded in ROUND_QUEUE instead;
+     it slots first among round-10 filler.
 
-  Tier total: 3+7+10+5+7+10+1+2+1+4 = 50 — the window exactly.
+  Tier total: 6+2+9+3+8+2+1+4+7+2+1+5 = 50 — the window exactly.
 
-  DEPENDENCY NOTE: round9q..round12q previously imported round7q/round8q/
-  privacyq at module top level (ES_K/span_col, IVF constants, WEEK_US, _W_*
-  classifier weights), which would have dragged those modules' 19 fresh-r7
-  registrations into this window. Those symbols moved to plans/shared.py
-  (registration-free) in round 8; the original modules re-import them, so
-  every oracle string is unchanged single-source. Remaining in-window
-  imports (round11q/round12q -> similarityq; round12q -> round11q) import
-  EARLIER tiers only and cannot reorder this contract. The position probe
-  in tests/test_plan_hygiene.py pins the set.
+  DEPENDENCY NOTE: round13q/round14q depend only on plans/shared.py and
+  non-registering packages (operators/, functions/, sources/, caching) —
+  importing them first drags nothing. baselineq -> vectorq is the only
+  in-window plans-module import and points at an earlier tier. The
+  out-of-window order keeps similarityq before round11q before round12q
+  (module-level imports). The position probe in tests/test_plan_hygiene.py
+  pins the set.
 
 Round queues and history live in ROUND_QUEUE.md (round-5 verdict item 8) —
 this docstring stays the registration-order contract only.
@@ -62,58 +58,51 @@ driver coverage in its first round.
 from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
 # Each import populates the registry via @register side effects.
-# -- tier 1: never-driver-verified round-7 forward batches --
-from . import round9q  # noqa: F401
-from . import round10q  # noqa: F401
+# -- tier 1: never-driver-verified round-8 forward batch --
+from . import round13q  # noqa: F401
 
-# -- tier 2: similarityq (round11q/round12q dependency + the r5-stale
-# minhash_fast green) --
-from . import similarityq  # noqa: F401
+# -- tier 2: round-9 fresh budget (incremental dedup-state maintenance) --
+from . import round14q  # noqa: F401
 
-# -- tier 3: the extension/continuation forward batches --
-from . import round11q  # noqa: F401
-from . import round12q  # noqa: F401
-
-# -- tier 4: stream_stats-staled streaming twins (6 of 8) + codecs --
-from . import multimodalq  # noqa: F401
-
-# -- tier 5: oldest stale greens (r5 momentum_gd, r4 matmul family) --
-from . import mlq  # noqa: F401
-from . import linalgq  # noqa: F401
-
-# -- tier 6: remaining stream twins; qaq's last entry spills to 51 --
-from . import streamequivq  # noqa: F401
-from . import qaq  # noqa: F401
-
-# -- outside the window: most recent driver greens first (r7), then r6/r5 --
+# -- tier 3: round-8 import-relocation re-stales --
 from . import round7q  # noqa: F401
 from . import vectorq  # noqa: F401
-from . import baselineq  # noqa: F401
 from . import round8q  # noqa: F401
+from . import privacyq  # noqa: F401
+from . import graphq  # noqa: F401
+
+# -- tier 4: re-staled by this round's embedding_near_pairs hardening --
+from . import baselineq  # noqa: F401
+
+# -- tier 5: the r4-cohort stale greens (oldest driver verdicts) --
+from . import curationq  # noqa: F401
+from . import qualityq  # noqa: F401
+from . import fuzzydedupq  # noqa: F401
+from . import statsq  # noqa: F401
+
+# -- outside the window: most recent driver greens first (r8), then r7/r6 --
+from . import round9q  # noqa: F401
+from . import round10q  # noqa: F401
+from . import similarityq  # noqa: F401
+from . import round11q  # noqa: F401
+from . import round12q  # noqa: F401
+from . import multimodalq  # noqa: F401
+from . import mlq  # noqa: F401
+from . import linalgq  # noqa: F401
+from . import streamequivq  # noqa: F401
+from . import qaq  # noqa: F401
 from . import warehouseq  # noqa: F401
 from . import decisionq  # noqa: F401
 from . import core  # noqa: F401
 from . import textq  # noqa: F401
-from . import statsq  # noqa: F401
 from . import samplingq  # noqa: F401
 from . import sourcesq  # noqa: F401
 from . import relationalx  # noqa: F401
 from . import round6q  # noqa: F401
 from . import recommendq  # noqa: F401
 from . import tpchfull  # noqa: F401
-from . import privacyq  # noqa: F401
-from . import graphq  # noqa: F401
 from . import textanalysisq  # noqa: F401
 from . import corpusq  # noqa: F401
 from . import sketchq  # noqa: F401
 from . import pipelineq  # noqa: F401
-from . import curationq  # noqa: F401
-from . import qualityq  # noqa: F401
 from . import tpchx  # noqa: F401
-from . import fuzzydedupq  # noqa: F401
-
-# -- tail: round-8-authored queries for the ROUND-9 window (never driver-
-# verified yet — deliberately registered AFTER every green module so the
-# round-8 rotation window above is untouched; see plans/round13q.py and
-# ROUND_QUEUE.md) --
-from . import round13q  # noqa: F401

@@ -79,7 +79,15 @@ def streaming_mix_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_source_token_totals(documents_stream(spark, sf_dir)),
         output_mode="append",
     )
-    return mix_shares_frame(totals)
+    # The stateful head append-emits one refreshed cumulative total per
+    # source PER MICRO-BATCH it appears in; mix_shares_frame needs exactly
+    # one row per source. Under availableNow over the single-file documents
+    # source that is already true, but a multi-batch replay (e.g. a
+    # maxFilesPerTrigger source) would emit several — reduce to the LAST
+    # emission (the counter is cumulative, so max(m) == final total) instead
+    # of relying on the single-batch contract (round-8 ADVICE).
+    final_totals = totals.groupBy("source").agg(F.max("m").alias("m"))
+    return mix_shares_frame(final_totals)
 
 
 # --------------------------------------------------------------------------
@@ -201,14 +209,33 @@ def bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for t in range(1, N_MERGES + 1):
         n = syms.withColumn("nxt", F.lead("sym").over(w_word))
-        best = (
+        best_rows = (
             n.filter(F.col("nxt").isNotNull())
             .groupBy("sym", "nxt")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not best_rows:
+            # Degenerate corpus: every word already collapsed to one symbol,
+            # so there are no adjacent pairs left. The unrolled oracle's
+            # scalar subqueries over the empty b{t} CTE yield NULL pair/
+            # pair_count, zero merged occurrences, and an unchanged symbol
+            # total — emit the matching row instead of raising (round-8
+            # ADVICE; unreachable at the shipped SFs, pinned by a fixture
+            # test).
+            rows.append(
+                Row(
+                    iteration=t,
+                    pair=None,
+                    pair_count=None,
+                    merged_occ=0,
+                    total_syms=int(total_syms),
+                )
+            )
+            continue
+        best = best_rows[0]
         a, b, cnt = best["sym"], best["nxt"], int(best["cnt"])
         m = n.withColumn(
             "mk",
@@ -257,7 +284,13 @@ def bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 total_syms=int(total_syms),
             )
         )
-    return spark.createDataFrame(rows)
+    # explicit schema (types mirror the oracle's casts): on an all-degenerate
+    # corpus every pair is NULL and inference would have nothing to go on.
+    return spark.createDataFrame(
+        rows,
+        "iteration bigint, pair string, pair_count bigint, "
+        "merged_occ bigint, total_syms bigint",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -81,57 +81,59 @@ BNLJ_OK = {
 }
 
 
-#: Round-8 verification rotation (catalog.py tiers 1-6): the 22 never-
-#: driver-verified round9q/round10q/round11q/round12q forward batches, the
-#: similarityq block (round11q/12q dependency + the r5-stale minhash_fast
-#: green), all 8 streaming twins re-staled by the round-7 stream_stats.py
-#: edits, and the oldest stale greens (r5 momentum_gd, r4 matmul family).
-#: qaq's range_overlap_sessions is the planned position-51 spill and is
-#: deliberately NOT mandatory (batch-only, no stream_stats dependency;
-#: same-session local differential recorded in ROUND_QUEUE.md). Every one
-#: below MUST register inside the driver's 50-entry window or it gets no
-#: fresh verdict this round.
-ROUND8_WINDOW_SET = {
-    # tier 1: round9q x3 + round10q x7 — never driver-verified
-    "dedup_substring_withindoc", "streaming_sliding_counts", "ann_ivf_lloyd",
-    "retention_value_bands", "vocab_growth_curve", "domain_cap_sweep",
-    "event_value_mad_outliers", "ann_recall_ivf", "streaming_late_data_drop",
-    "lloyd_convergence_curve",
-    # tier 2: similarityq x10 (dependency of round11q/round12q; contains the
-    # r5-stale minhash_fast_jaccard)
-    "minhash_jaccard", "minhash_fast_jaccard", "lsh_candidates",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_clusters_twophase",
-    "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_apply_canonical",
-    # tier 3: round11q x5 + round12q x7 — never driver-verified
-    "watermark_sensitivity_hourly", "retention_quality_bridge",
-    "srp_recall_probe_curve", "lsh_recall_precision",
-    "quality_threshold_sweep",
-    "pack_efficiency_sweep", "temperature_mix_rates",
-    "cluster_size_histogram", "minhash_error_accounting",
-    "dedup_threshold_sensitivity", "banded_width_recall",
-    "pagerank_convergence_curve",
-    # tier 4: multimodalq x10 (6 stream_stats-staled twins + 4 codecs)
-    "multimodal_meta", "multimodal_frames", "multimodal_wav_decode",
-    "multimodal_bmp_decode", "streaming_welford_stats",
-    "streaming_hourly_counts", "streaming_user_stats",
-    "streaming_scd2_intervals", "streaming_interval_join",
-    "streaming_dedup_events",
-    # tier 5: oldest stale greens (r5 mlq, r4 linalgq)
-    "momentum_gd_linreg", "matmul_coo_fixture", "matmul_lineitem",
-    # tier 6: remaining stream twins (streamequivq; qaq's twin at pos 50)
-    "streaming_batch_equiv_hourly", "streaming_session_windows",
+#: Round-9 verification rotation (catalog.py tiers 1-5): the 6 never-
+#: driver-verified round13q entries, the 2 fresh round14q entries, the 23
+#: round-8 import-relocation re-stales (round7q/vectorq/round8q/privacyq/
+#: graphq — shared.py re-imports landed AFTER their last verdicts), the 4
+#: baselineq entries re-staled by this round's embedding_near_pairs row
+#: bound (operators/vector.py), and the r4-cohort stale greens (curationq/
+#: qualityq/fuzzydedupq + statsq's corr_price_quantity; the four OLS r7
+#: greens ride along). tpchx (also r4) did not fit — same-session local
+#: differential recorded in ROUND_QUEUE.md; it slots first in round 10.
+#: Every one below MUST register inside the driver's 50-entry window or it
+#: gets no fresh verdict this round.
+ROUND9_WINDOW_SET = {
+    # tier 1: round13q x6 — never driver-verified
+    "streaming_mix_shares", "bpe_merge_curve", "repetition_quality_rules",
+    "span_novelty_scan", "doc_length_percentiles_by_source",
+    "dedup_canonical_quality",
+    # tier 2: round14q x2 — the round-9 fresh budget
+    "dedup_state_compaction", "dedup_compaction_curve",
+    # tier 3: the round-8 import-relocation re-stales
+    "ann_ivf_nprobe", "dedup_containment", "domain_lang_drift",
+    "chunk_dedup_boilerplate", "streaming_token_budget",
+    "dedup_exact_substring", "crawl_freshness_sample", "bm25f_title_body",
+    "streaming_domain_drift",
+    "ann_cosine_topk_blocked", "ann_multiprobe_topk",
+    "embedding_diversity_by_label",
+    "doc_freshness_by_event_time", "retention_cohorts_weekly",
+    "sliding_window_event_rate", "event_transition_counts",
+    "oov_rate_by_source", "domain_gini_tokens", "dedup_substring_multigrain",
+    "streaming_sessions_closed",
+    "pii_redaction", "quality_classifier_score",
+    "pagerank_trade_graph",
+    # tier 4: baselineq x4 — re-staled by the embedding_near_pairs bound
+    "ann_cosine_topk", "dedup_embedding_cosine", "ann_hyperplane_buckets",
+    "embedding_label_stats",
+    # tier 5: the r4-cohort stale greens
+    "dup_ngram_coverage", "repetition_ratios", "contamination_13gram",
+    "dedup_jaccard_prefix", "triangle_count_knn", "pack_sequences_2048",
+    "corpus_mix_quota",
+    "text_quality", "corpus_prep_pipeline",
+    "dedup_edit_distance",
+    "ols_simple_words", "ols_simple_words_zero_rows", "ols_multi_words",
+    "ols_words_pvalues", "corr_price_quantity",
 }
 
 
-def test_round8_window_positions():
+def test_round9_window_positions():
     """The driver checks exactly the first 50 registration positions
-    (CORRECTNESS_r03..r07 all hold exactly that set); the whole round-8
+    (CORRECTNESS_r03..r08 all hold exactly that set); the whole round-9
     verification rotation must sit inside them."""
     order = list(QUERIES)
-    late = {n for n in ROUND8_WINDOW_SET if order.index(n) >= 50}
+    late = {n for n in ROUND9_WINDOW_SET if order.index(n) >= 50}
     assert not late, f"outside the 50-entry driver window: {sorted(late)}"
-    assert len(ROUND8_WINDOW_SET) <= 50
+    assert len(ROUND9_WINDOW_SET) == 50
 
 
 def test_catalog_plan_hygiene(spark, sf_dir):

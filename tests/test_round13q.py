@@ -143,14 +143,16 @@ def test_span_novelty_invariants(spark, sf_dir):
 
 
 def test_round13q_differential(spark, duck, sf_dir):
-    """Local mirror of the driver gate for the four new queries (they sit
-    at the catalog tail, outside the round-8 window — first driver verdict
-    lands with the round-9 rotation)."""
+    """Local mirror of the driver gate for all six round13q queries (they
+    sat at the catalog tail, outside the round-8 window — first driver
+    verdict lands with the round-9 rotation)."""
     for name in (
         "streaming_mix_shares",
         "bpe_merge_curve",
         "repetition_quality_rules",
         "span_novelty_scan",
+        "doc_length_percentiles_by_source",
+        "dedup_canonical_quality",
     ):
         spec = QUERIES[name]
         assert_df_equal(spec.build(spark, sf_dir), duck, spec.oracle)
@@ -181,3 +183,36 @@ def test_round13q_batch2_differential(spark, duck, sf_dir):
     for name in ("doc_length_percentiles_by_source", "dedup_canonical_quality"):
         spec = QUERIES[name]
         assert_df_equal(spec.build(spark, sf_dir), duck, spec.oracle)
+
+
+def test_bpe_degenerate_corpus_matches_oracle(spark, tmp_path):
+    """Pin the empty-argmax path (round-8 ADVICE): once every word has
+    collapsed to a single symbol there are no adjacent pairs left, and the
+    engine must emit the oracle's degenerate rows (NULL pair, NULL count,
+    zero merges, flat symbol total) for the remaining iterations instead of
+    raising. 'ab ab c' degenerates after one real merge."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO d VALUES (1, 'ab ab c')")
+    fixture = os.path.join(tmp_path, "documents.parquet")
+    con.execute(f"COPY d TO '{fixture}' (FORMAT PARQUET)")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{fixture}')")
+
+    spark_rows = sorted(
+        QUERIES["bpe_merge_curve"].build(spark, str(tmp_path)).collect(),
+        key=lambda r: r["iteration"],
+    )
+    assert [r["iteration"] for r in spark_rows] == list(range(1, N_MERGES + 1))
+    it1 = spark_rows[0]
+    # 'ab' has corpus freq 2, so the one applied merge is freq-weighted x2
+    assert it1["pair"] == "a b" and it1["merged_occ"] == 2
+    for r in spark_rows[1:]:
+        assert r["pair"] is None and r["pair_count"] is None
+        assert r["merged_occ"] == 0 and r["total_syms"] == it1["total_syms"]
+    got = [
+        (r["iteration"], r["pair"], r["pair_count"], r["merged_occ"], r["total_syms"])
+        for r in spark_rows
+    ]
+    assert got == sorted(con.execute(_sql_bpe_oracle()).fetchall())
