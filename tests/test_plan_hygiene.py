@@ -357,3 +357,23 @@ def test_round13q_shapes_pinned(spark, sf_dir):
     ), exchanges
     assert "span" not in " ".join(exchanges)
     assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+
+    # (c) doc_length_percentiles_by_source: ONE source-keyed exchange total —
+    # the rank window shuffles by source and the final per-source aggregate
+    # reuses that distribution (no second shuffle); one corpus scan.
+    dl = QUERIES["doc_length_percentiles_by_source"].build(spark, sf_dir)
+    plan = dl._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1 and exchanges[0].startswith("source#"), exchanges
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+    # (d) dedup_canonical_quality: ONE grp-keyed exchange (the keeper
+    # window); the 1-row weights frame arrives as the allowlisted broadcast
+    # nested-loop, never a shuffle; one corpus scan and no doc_id exchange
+    # (features + prefix hash are map-side).
+    cq = QUERIES["dedup_canonical_quality"].build(spark, sf_dir)
+    plan = cq._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1 and exchanges[0].startswith("grp#"), exchanges
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
