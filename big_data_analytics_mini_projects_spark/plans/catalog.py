@@ -106,3 +106,9 @@ from . import corpusq  # noqa: F401
 from . import sketchq  # noqa: F401
 from . import pipelineq  # noqa: F401
 from . import tpchx  # noqa: F401
+
+# -- tail: round-9-authored queries for the ROUND-10 window (never driver-
+# verified yet — deliberately registered AFTER every green module so the
+# round-9 rotation window above is untouched; see plans/round15q.py and
+# ROUND_QUEUE.md) --
+from . import round15q  # noqa: F401

@@ -105,10 +105,14 @@ N_MERGES = 4
 _WORD_RE = "^[a-z0-9]+$"
 
 
-def _sql_bpe_oracle(iters: int = N_MERGES) -> str:
-    """Unrolled DuckDB mirror: per iteration, the pair-count aggregate, the
+def _sql_bpe_chain(iters: int = N_MERGES) -> str:
+    """Unrolled DuckDB CTE chain 'WITH w, s0, (n,pc,b,m,i,c,d,s,r){1..N}'
+    WITHOUT a final SELECT: per iteration, the pair-count aggregate, the
     (cnt DESC, a ASC, b ASC) argmax as scalar subqueries, the gaps-and-
-    islands greedy-leftmost merge, and the freq-weighted stats row.
+    islands greedy-leftmost merge, and the freq-weighted stats row. Shared
+    by bpe_merge_curve's oracle (stats-row tail) and round15q's fertility
+    oracle (final-spelling tail over s{N}) — the SQL twin of
+    bpe_merge_chain.
 
     The multiply-referenced CTEs (each s{t} feeds the next iteration AND
     the stats row; each b{t} is read by five scalar subqueries) carry AS
@@ -157,10 +161,14 @@ def _sql_bpe_oracle(iters: int = N_MERGES) -> str:
             "AS merged_occ, "
             f"(SELECT CAST(SUM(freq) AS BIGINT) FROM s{t}) AS total_syms)"
         )
+    return head + "".join(steps)
+
+
+def _sql_bpe_oracle(iters: int = N_MERGES) -> str:
     tail = " " + " UNION ALL ".join(
         f"SELECT * FROM r{t}" for t in range(1, iters + 1)
     )
-    return head + "".join(steps) + tail
+    return _sql_bpe_chain(iters) + tail
 
 
 @register(
@@ -187,6 +195,24 @@ def _sql_bpe_oracle(iters: int = N_MERGES) -> str:
     tags=("curation", "tokenize_char", "iterative", "pipeline"),
 )
 def bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, rows = bpe_merge_chain(spark, sf_dir)
+    # explicit schema (types mirror the oracle's casts): on an all-degenerate
+    # corpus every pair is NULL and inference would have nothing to go on.
+    return spark.createDataFrame(
+        rows,
+        "iteration bigint, pair string, pair_count bigint, "
+        "merged_occ bigint, total_syms bigint",
+    )
+
+
+def bpe_merge_chain(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> tuple[DataFrame, list[Row]]:
+    """The shared BPE merge-training loop: returns (the word-type symbol
+    frame AFTER the final merge, the per-iteration stat Rows). Single source
+    for bpe_merge_curve (stats) and round15q's fertility view (final
+    spellings) — both engines' chains stay byte-reconciled because the SQL
+    twin (_sql_bpe_chain) is shared the same way."""
     docs = spread(load_table(spark, sf_dir, "documents").select("text"))
     words = docs.select(
         F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')")).alias(
@@ -207,7 +233,7 @@ def bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_syms = syms.agg(F.sum("freq")).collect()[0][0]
 
     rows = []
-    for t in range(1, N_MERGES + 1):
+    for t in range(1, n_merges + 1):
         n = syms.withColumn("nxt", F.lead("sym").over(w_word))
         best_rows = (
             n.filter(F.col("nxt").isNotNull())
@@ -284,13 +310,7 @@ def bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 total_syms=int(total_syms),
             )
         )
-    # explicit schema (types mirror the oracle's casts): on an all-degenerate
-    # corpus every pair is NULL and inference would have nothing to go on.
-    return spark.createDataFrame(
-        rows,
-        "iteration bigint, pair string, pair_count bigint, "
-        "merged_occ bigint, total_syms bigint",
-    )
+    return syms, rows
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,276 @@
+"""Round-10-budget forward batch (authored in round 9; registered at the
+catalog TAIL so the round-9 driver window is untouched — ROUND_QUEUE.md).
+
+Three queries extending the data-selection / tokenizer / dedup families a
+large-scale training-data pipeline needs:
+
+- ``dsir_importance_weights`` — DSIR-style data selection (Xie et al. 2023,
+  "Data Selection for Language Models via Importance Resampling"): hashed
+  bigram features, per-bucket smoothed log-likelihood ratio between a
+  TARGET source distribution and the whole-corpus distribution, per-doc
+  importance log-weight as the sum of its occurrences' ratios. The float
+  discipline is the doc_perplexity_bigram/tfidf precedent: ln() over
+  exact integer counts, per-term 8dp rounding + exact-decimal sum (dsum),
+  stable-rounded output.
+- ``bpe_fertility_by_source`` — APPLY the trained BPE merges: after the
+  bpe_merge_curve chain's N_MERGES merges, every word type carries its
+  final spelling length; joining that against the per-source word stream
+  yields tokens-per-word (fertility) by source — the tokenizer-health
+  metric a pipeline reads per domain before committing a vocab. Shares
+  bpe_merge_chain / _sql_bpe_chain with bpe_merge_curve, so the two
+  queries reconcile exactly (sum of per-source n_tokens == the curve's
+  final total_syms; pinned in tests/test_round15q.py).
+- ``streaming_dedup_docs`` — stateful STREAMING twin of the prefix-
+  boilerplate dedup family: documents stream through
+  applyInPandasWithState keyed by the md5 of their first ES_K=12 tokens
+  (dedup_canonical_quality's group key, byte-identical construction);
+  state is ONE long per group (the minimum doc_id seen), and every doc is
+  append-emitted with its keeper attribution. Under availableNow the
+  whole corpus is one batch per key, so keeper == the global group MIN —
+  the batch oracle. First-seen-wins is the live-stream contract (append
+  mode cannot retract an earlier keeper); documented, and exactly how a
+  streaming ingest dedup behaves in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caching import persist_tracked
+from ..functions.hashing import h64, h64_sql
+from ..functions.text import ngram_expr, round_stable, sql_round_stable
+from ..operators.aggregates import dsum, sql_dsum
+from ..sources.tables import load_table, spread
+from .registry import register
+from .round13q import N_MERGES, _WORD_RE, _sql_bpe_chain, bpe_merge_chain
+from .shared import ES_K
+
+# --------------------------------------------------------------------------
+# dsir_importance_weights
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512      # hashed bigram feature space (the DSIR paper uses 10k)
+DSIR_TARGET = "src0"    # the target domain the ratio is trained toward
+
+#: ln-ratio expression, written with IDENTICAL operator order in both
+#: engines (left-associative +/-) so the four ln() doubles combine through
+#: the same IEEE operation sequence before the 8dp term rounding.
+_LOGR = (
+    "ln(n_t + 1) - ln(tot_t + {B}) - ln(n_c + 1) + ln(tot_c + {B})"
+)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=(
+        "WITH tarr AS (SELECT doc_id, source, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks "
+        "FROM documents), "
+        "g AS (SELECT doc_id, source, "
+        + h64_sql("gram", "dsir")
+        + f" % {DSIR_BUCKETS} AS b FROM ("
+        "SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) "
+        "ELSE []::VARCHAR[] END) AS gram FROM tarr)), "
+        "r AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_c, "
+        f"CAST(SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_t FROM g GROUP BY b), "
+        "rt AS (SELECT b, "
+        + _LOGR.format(B=DSIR_BUCKETS).replace(
+            "tot_t", "(SELECT SUM(n_t) FROM r)"
+        ).replace("tot_c", "(SELECT SUM(n_c) FROM r)")
+        + " AS logr FROM r), "
+        "j AS (SELECT g.doc_id, rt.logr FROM g JOIN rt USING (b)), "
+        "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        + sql_round_stable(sql_dsum("logr", 8), 6)
+        + " AS logw FROM j GROUP BY doc_id) "
+        "SELECT doc_id, n_grams, logw, logw >= 0 AS keep FROM a"
+    ),
+    doc="DSIR importance weights (hashed-ngram importance resampling, the "
+    "published data-selection shape): every whitespace bigram occurrence "
+    "hashes into one of 512 buckets; bucket rates are Laplace-smoothed "
+    "multinomials for the TARGET source vs the whole corpus, and each "
+    "doc's importance log-weight is the sum of its occurrences' "
+    "log-likelihood ratios — docs that look like the target domain score "
+    "positive and survive the keep gate. Two corpus-linear passes over "
+    "one persisted bucketed-gram stream: ONE 512-row rate aggregate "
+    "(totals via a window on the dimension frame, not a second scan), "
+    "ONE broadcastable rate join back + per-doc aggregate. Float rule: "
+    "ln() over exact integer counts with identical operator order in "
+    "both engines, per-term 8dp rounding + exact decimal sum (dsum), "
+    "stable-rounded output — the doc_perplexity_bigram precedent. Docs "
+    "with fewer than two tokens have no bigrams and drop out "
+    "structurally in both engines.",
+    tags=("curation", "quality", "sampling", "ngram", "pipeline"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+        )
+    )
+    g = persist_tracked(
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(ngram_expr(2))).alias("gram"),
+        ).select(
+            "doc_id", "source", (h64("gram", "dsir") % DSIR_BUCKETS).alias("b")
+        )
+    )
+    r = g.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.count(F.when(F.col("source") == DSIR_TARGET, True)).alias("n_t"),
+    )
+    # totals via an OVER () window on the 512-row dimension frame — no
+    # second corpus scan and no 1-row crossJoin
+    rt = r.select(
+        "b",
+        F.expr(
+            _LOGR.format(B=DSIR_BUCKETS)
+            .replace("tot_t", "sum(n_t) OVER ()")
+            .replace("tot_c", "sum(n_c) OVER ()")
+        ).alias("logr"),
+    )
+    j = g.join(rt, "b").select("doc_id", "logr")
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        dsum("logr", 8).alias("s"),
+    )
+    logw = round_stable(F.col("s"), 6)
+    return agg.select("doc_id", "n_grams", logw.alias("logw"), (logw >= 0).alias("keep"))
+
+
+# --------------------------------------------------------------------------
+# bpe_fertility_by_source
+# --------------------------------------------------------------------------
+
+
+def _sql_fertility_oracle() -> str:
+    return (
+        _sql_bpe_chain()
+        + f", wl AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms "
+        f"FROM s{N_MERGES} GROUP BY word)"
+        ", ws AS (SELECT source, unnest(list_filter(string_split(lower(text), ' '), "
+        f"x -> regexp_matches(x, '{_WORD_RE}'))) AS word FROM documents) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(n_syms) AS BIGINT) AS n_tokens, "
+        + sql_round_stable("SUM(n_syms)::DOUBLE / COUNT(*)", 6)
+        + " AS fertility FROM ws JOIN wl USING (word) GROUP BY source"
+    )
+
+
+@register(
+    "bpe_fertility_by_source",
+    oracle=_sql_fertility_oracle(),
+    doc="Tokenizer APPLICATION: after bpe_merge_curve's N_MERGES trained "
+    "merges (the SAME chain — bpe_merge_chain/_sql_bpe_chain are single-"
+    "source in both engines), every word type carries a final spelling "
+    "length; joining the vocab's spelling lengths back to the per-source "
+    "word stream yields tokens-per-word (fertility) by source — the "
+    "domain-level tokenizer-health metric read before committing a vocab "
+    "(a domain whose fertility stays near characters-per-word is being "
+    "tokenized badly). Encoding is a VOCAB join, not a corpus re-parse: "
+    "the corpus-linear word stream joins the word-type dimension frame "
+    "(AQE-broadcastable), so applying the tokenizer costs one scan + one "
+    "bounded join at any corpus size. Cross-family reconciliation: "
+    "sum(n_tokens) over sources == the curve's final total_syms "
+    "(tests/test_round15q.py).",
+    tags=("curation", "tokenize_char", "pipeline", "agg_sum_by_key"),
+)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    syms, _ = bpe_merge_chain(spark, sf_dir)
+    wl = syms.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n_syms"))
+    docs = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    ws = docs.select(
+        "source",
+        F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')")).alias(
+            "word"
+        ),
+    ).filter(F.col("word").rlike(_WORD_RE))
+    return (
+        ws.join(wl, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+            round_stable(
+                F.sum("n_syms").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming_dedup_docs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "streaming_dedup_docs",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, md5(array_to_string(toks[1:{ES_K}], ' ')) AS h "
+        f"FROM t WHERE len(toks) >= {ES_K}) "
+        "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keeper_id, "
+        "doc_id <> MIN(doc_id) OVER (PARTITION BY h) AS is_dup FROM g"
+    ),
+    doc="Stateful STREAMING ingest dedup — the streaming twin of the "
+    "prefix-boilerplate dedup family: documents stream through "
+    "applyInPandasWithState keyed by the md5 of their first ES_K=12 "
+    "whitespace tokens (dedup_canonical_quality's group key, byte-"
+    "identical construction), the per-group state is ONE long (the "
+    "minimum doc_id seen so far), and every arriving doc is append-"
+    "emitted with its keeper attribution and a dup flag. Under an "
+    "availableNow replay each group arrives as one batch, so keeper == "
+    "the global group MIN — the batch/oracle semantics; on a live stream "
+    "the contract is first-seen-wins (append mode cannot retract an "
+    "already-emitted keeper), exactly how production ingest dedup "
+    "behaves. Group-key hashing runs JVM-side before the Arrow hop; "
+    "state is |groups| longs at any corpus size. Docs shorter than 12 "
+    "tokens have no prefix group and drop out structurally (both "
+    "engines). Reconciliation: dup counts equal dedup_canonical_quality's "
+    "n_dropped totals over the same groups (tests/test_round15q.py).",
+    tags=("streaming", "dedup", "curation", "agg_last_per_key"),
+    bench=False,
+)
+def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_stats import documents_stream, run_available_now
+
+    docs = documents_stream(spark, sf_dir)
+    toks = F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+    t = docs.select(
+        F.md5(F.expr(
+            f"array_join(slice(filter(split(lower(text), ' '), x -> x <> ''), 1, {ES_K}), ' ')"
+        )).alias("h"),
+        "doc_id",
+    ).filter(F.size(toks) >= ES_K)
+
+    def update(key, pdfs, state):
+        import pandas as pd  # executor-side only
+
+        prev = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        mn = int(pdf["doc_id"].min())
+        keeper = mn if prev is None else min(int(prev), mn)
+        state.update((int(keeper),))
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {"doc_id": ids, "keeper_id": keeper, "is_dup": ids != keeper}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = t.groupBy("h").applyInPandasWithState(
+        update,
+        "doc_id long, keeper_id long, is_dup boolean",
+        "keeper long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(out, output_mode="append")

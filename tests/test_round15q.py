@@ -1,0 +1,87 @@
+"""Unit tests for the round-10-budget forward batch (authored in round 9):
+DSIR importance weights, BPE fertility (tokenizer application), and the
+streaming prefix-dedup twin. The full differential against the DuckDB
+oracles runs in test_catalog_oracle; here we pin the local driver-gate
+mirror plus the cross-family reconciliations."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
+from big_data_analytics_mini_projects_spark.plans.round13q import N_MERGES
+from big_data_analytics_mini_projects_spark.plans.round15q import DSIR_TARGET
+
+from .compare import assert_df_equal
+
+
+def test_round15q_differential(spark, duck, sf_dir):
+    """Local mirror of the driver gate for all three forward queries."""
+    for name in (
+        "dsir_importance_weights",
+        "bpe_fertility_by_source",
+        "streaming_dedup_docs",
+    ):
+        spec = QUERIES[name]
+        assert_df_equal(spec.build(spark, sf_dir), duck, spec.oracle)
+
+
+def test_dsir_target_docs_score_higher(spark, sf_dir):
+    """The importance ratio is trained TOWARD the target source, so target
+    docs must average a higher log-weight than the rest of the corpus (the
+    per-bucket ratios are literally their own likelihoods)."""
+    rows = QUERIES["dsir_importance_weights"].build(spark, sf_dir).collect()
+    assert rows
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    tgt = [r["logw"] for r in rows if src[r["doc_id"]] == DSIR_TARGET]
+    rest = [r["logw"] for r in rows if src[r["doc_id"]] != DSIR_TARGET]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    for r in rows:
+        assert r["n_grams"] > 0
+        assert r["keep"] == (r["logw"] >= 0)
+
+
+def test_fertility_reconciles_with_merge_curve(spark, sf_dir):
+    """Tokenizer application must account for every symbol the training
+    loop left: sum of per-source n_tokens == the curve's final total_syms
+    (iteration N_MERGES), and fertility sits in (1, chars-per-word]."""
+    fert = QUERIES["bpe_fertility_by_source"].build(spark, sf_dir).collect()
+    curve = {
+        r["iteration"]: r["total_syms"]
+        for r in QUERIES["bpe_merge_curve"].build(spark, sf_dir).collect()
+    }
+    assert sum(r["n_tokens"] for r in fert) == curve[N_MERGES]
+    for r in fert:
+        assert r["n_words"] > 0
+        # at least one merge applies somewhere, so fertility < raw chars;
+        # merges never drop a word below one token
+        assert 1.0 <= r["fertility"]
+        assert abs(r["fertility"] - r["n_tokens"] / r["n_words"]) < 1e-6
+
+
+def test_streaming_dedup_reconciles_with_canonical_quality(spark, sf_dir):
+    """Same prefix-12 group key as dedup_canonical_quality: the dup count
+    per group must equal its n_dropped, and every multi-doc group the batch
+    query reports must show exactly one keeper here."""
+    sd = QUERIES["streaming_dedup_docs"].build(spark, sf_dir).collect()
+    assert sd
+    by_keeper = defaultdict(list)
+    for r in sd:
+        assert r["is_dup"] == (r["doc_id"] != r["keeper_id"])
+        assert r["keeper_id"] <= r["doc_id"]
+        by_keeper[r["keeper_id"]].append(r["doc_id"])
+    cq = QUERIES["dedup_canonical_quality"].build(spark, sf_dir).collect()
+    assert cq, "fixture must contain multi-doc prefix groups"
+    # batch groups with n>1 <-> streaming keeper groups with >1 member
+    stream_groups = {
+        frozenset(v) for v in by_keeper.values() if len(v) > 1
+    }
+    batch_total_dropped = sum(r["n_dropped"] for r in cq)
+    assert sum(1 for r in sd if r["is_dup"]) == batch_total_dropped
+    assert len(stream_groups) == len(cq)
