@@ -1,8 +1,8 @@
 """Round-10-budget forward batch (authored in round 9; registered at the
 catalog TAIL so the round-9 driver window is untouched — ROUND_QUEUE.md).
 
-Three queries extending the data-selection / tokenizer / dedup families a
-large-scale training-data pipeline needs:
+Five queries extending the data-selection / tokenizer / dedup / multimodal
+/ mixing families a large-scale training-data pipeline needs:
 
 - ``dsir_importance_weights`` — DSIR-style data selection (Xie et al. 2023,
   "Data Selection for Language Models via Importance Resampling"): hashed
@@ -30,6 +30,13 @@ large-scale training-data pipeline needs:
   the batch oracle. First-seen-wins is the live-stream contract (append
   mode cannot retract an earlier keeper); documented, and exactly how a
   streaming ingest dedup behaves in production.
+- ``multimodal_bmp_resize``  — REAL image resize round trip (the transform
+  leg of the multimodal brief): parse the genuine BMP payload, nearest-
+  neighbor resample, re-encode a valid BMP, decode with the ordinary
+  decoder; dims + RGB sum against the pattern's closed form.
+- ``epoch_schedule_budget``  — data-constrained epoch scheduling: a 3x
+  token budget allocated by temperature-mixed shares implies per-source
+  epoch counts, capped, with the reallocatable overflow reported.
 """
 
 from __future__ import annotations
@@ -44,7 +51,7 @@ from ..operators.aggregates import dsum, sql_dsum
 from ..sources.tables import load_table, spread
 from .registry import register
 from .round13q import N_MERGES, _WORD_RE, _sql_bpe_chain, bpe_merge_chain
-from .shared import ES_K
+from .shared import ES_K, _sql_alpha_w
 
 # --------------------------------------------------------------------------
 # dsir_importance_weights
@@ -274,3 +281,141 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     return run_available_now(out, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# multimodal_bmp_resize
+# --------------------------------------------------------------------------
+
+RESIZE_W = 3
+RESIZE_H = 2
+
+#: Source dims are doc_id-derived (operators/multimodal._bmp_dims):
+#: w = 4 + doc_id % 4, h = 2 + doc_id % 3. Nearest-neighbor source index
+#: for target (x2, y2): (x2*w // RESIZE_W, y2*h // RESIZE_H).
+_SQL_RESIZE_PX = (
+    f"list_sum(list_transform(range({RESIZE_H}), y2 -> "
+    f"list_sum(list_transform(range({RESIZE_W}), x2 -> "
+    "(doc_id + 3 * ((x2 * (4 + doc_id % 4)) // {W2}) "
+    "+ 7 * ((y2 * (2 + doc_id % 3)) // {H2})) % 256 "
+    "+ (doc_id * 2 + ((x2 * (4 + doc_id % 4)) // {W2}) "
+    "+ ((y2 * (2 + doc_id % 3)) // {H2})) % 256 "
+    "+ (((x2 * (4 + doc_id % 4)) // {W2}) "
+    "* ((y2 * (2 + doc_id % 3)) // {H2}) + doc_id) % 256))))"
+).format(W2=RESIZE_W, H2=RESIZE_H)
+
+
+@register(
+    "multimodal_bmp_resize",
+    oracle=(
+        f"SELECT doc_id, CAST({RESIZE_W} AS BIGINT) AS width, "
+        f"CAST({RESIZE_H} AS BIGINT) AS height, "
+        f"CAST({_SQL_RESIZE_PX} AS BIGINT) AS px_sum FROM documents"
+    ),
+    doc="REAL image RESIZE round trip, no external libs (the transform leg "
+    "of the multimodal brief): per doc the genuine 24-bit BMP payload "
+    "(synth_bmp_payloads) is parsed byte-for-byte, nearest-neighbor "
+    "resampled to 3x2 in image coordinates, re-encoded as a VALID "
+    "bottom-up padded BMP of the new geometry (operators/"
+    "multimodal_resize.resize_bmp_nn), and then read back by the ordinary "
+    "decoder (decode_bmp_stats) — dims + RGB sum checked against the "
+    "pattern's closed form under the floor NN index map. Whole chain is "
+    "three Arrow-batched mapInPandas stages over the binary column: "
+    "zero shuffle, corpus-linear, the exact plumbing a 100 TB image "
+    "pipeline needs (schema, partitioning, batch shape) with the codec "
+    "math real.",
+    tags=("multimodal",),
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_bmp_stats, synth_bmp_payloads
+    from ..operators.multimodal_resize import resize_bmp_nn
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_bmp_stats(
+        resize_bmp_nn(synth_bmp_payloads(docs), RESIZE_W, RESIZE_H)
+    )
+
+
+# --------------------------------------------------------------------------
+# epoch_schedule_budget
+# --------------------------------------------------------------------------
+
+EPOCH_BUDGET_X = 3   # train-token budget = 3x the unique corpus tokens
+EPOCH_MAX = 2.5      # per-source epoch cap (data-constrained scaling rule)
+
+
+@register(
+    "epoch_schedule_budget",
+    oracle=(
+        "WITH d AS (SELECT source, "
+        "len(list_filter(string_split(lower(text), ' '), x -> x <> '')) "
+        "AS n_tok FROM documents), "
+        "tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS m FROM d "
+        "GROUP BY source), "
+        "w AS (SELECT source, m, "
+        + _sql_alpha_w(0.5, "m")
+        + " AS w FROM tot), "
+        "den AS (SELECT "
+        + sql_dsum("w", 6)
+        + " AS denom, CAST(SUM(m) AS BIGINT) AS total FROM w), "
+        "s AS (SELECT source, m, "
+        + sql_round_stable("w / denom", 6)
+        + f" AS share, total FROM w CROSS JOIN den), "
+        "a AS (SELECT source, m, share, "
+        + sql_round_stable(f"share * (total * {EPOCH_BUDGET_X})", 2)
+        + " AS alloc_tokens FROM s), "
+        "e AS (SELECT source, m, share, alloc_tokens, "
+        + sql_round_stable("alloc_tokens / m", 6)
+        + " AS epochs_raw FROM a) "
+        f"SELECT source, m, share, alloc_tokens, epochs_raw, "
+        f"LEAST(epochs_raw, {EPOCH_MAX}) AS epochs, "
+        + sql_round_stable(f"GREATEST(0.0, alloc_tokens - {EPOCH_MAX} * m)", 2)
+        + " AS overflow_tokens FROM e"
+    ),
+    doc="Data-constrained epoch scheduling (the 'repeat data under a token "
+    "budget' view): with a train budget of 3x the unique corpus tokens "
+    "allocated by temperature-mixed shares (alpha=0.5, the shared "
+    "_sql_alpha_w/round12q weight discipline), each source's allocation "
+    "implies an epoch count; epochs are capped (2.5) and the overflow "
+    "that must be reallocated is reported per source — the schedule a "
+    "data-constrained training run reads to decide how often each domain "
+    "repeats. Pure dimension-frame arithmetic after ONE corpus-linear "
+    "token count: |sources| rows, one shuffle, every float stable-rounded "
+    "at the stage boundaries so the schedule is bit-identical cross-"
+    "engine.",
+    tags=("curation", "sampling", "pipeline"),
+)
+def epoch_schedule_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import dsum as _dsum
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    tot = docs.select(
+        "source",
+        F.size(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_tok"),
+    ).groupBy("source").agg(F.sum("n_tok").cast("long").alias("m"))
+    w = tot.select(
+        "source", "m", round_stable(F.sqrt(F.col("m").cast("double")), 6).alias("w")
+    )
+    den = w.groupBy().agg(
+        _dsum(F.col("w"), 6).alias("denom"), F.sum("m").cast("long").alias("total")
+    )
+    s = w.crossJoin(F.broadcast(den)).select(
+        "source", "m", round_stable(F.col("w") / F.col("denom"), 6).alias("share"),
+        "total",
+    )
+    a = s.select(
+        "source", "m", "share",
+        round_stable(F.col("share") * (F.col("total") * EPOCH_BUDGET_X), 2).alias(
+            "alloc_tokens"
+        ),
+    )
+    e = a.withColumn("epochs_raw", round_stable(F.col("alloc_tokens") / F.col("m"), 6))
+    return e.select(
+        "source", "m", "share", "alloc_tokens", "epochs_raw",
+        F.least(F.col("epochs_raw"), F.lit(EPOCH_MAX)).alias("epochs"),
+        round_stable(
+            F.greatest(F.lit(0.0), F.col("alloc_tokens") - EPOCH_MAX * F.col("m")), 2
+        ).alias("overflow_tokens"),
+    )

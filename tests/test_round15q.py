@@ -85,3 +85,60 @@ def test_streaming_dedup_reconciles_with_canonical_quality(spark, sf_dir):
     batch_total_dropped = sum(r["n_dropped"] for r in cq)
     assert sum(1 for r in sd if r["is_dup"]) == batch_total_dropped
     assert len(stream_groups) == len(cq)
+
+
+def test_round15q_batch2_differential(spark, duck, sf_dir):
+    for name in ("multimodal_bmp_resize", "epoch_schedule_budget"):
+        spec = QUERIES[name]
+        assert_df_equal(spec.build(spark, sf_dir), duck, spec.oracle)
+
+
+def test_bmp_resize_golden(spark):
+    """Hand-checked golden for one image: doc_id=1 -> source 5x3, target
+    3x2; NN indices x2=0,1,2 -> sx=0,1,3 and y2=0,1 -> sy=0,1. Pixel
+    channel sum at (x,y) = (1+3x+7y)%256 + (2+x+y)%256 + (xy+1)%256.
+    Also: resized payload must be a VALID BMP the ordinary decoder reads."""
+    from big_data_analytics_mini_projects_spark.operators.multimodal import (
+        decode_bmp_stats,
+        synth_bmp_payloads,
+    )
+    from big_data_analytics_mini_projects_spark.operators.multimodal_resize import (
+        resize_bmp_nn,
+    )
+    from big_data_analytics_mini_projects_spark.plans.round15q import (
+        RESIZE_H,
+        RESIZE_W,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    out = decode_bmp_stats(
+        resize_bmp_nn(synth_bmp_payloads(docs), RESIZE_W, RESIZE_H)
+    ).collect()[0]
+
+    def chan_sum(d, x, y):
+        return (d + 3 * x + 7 * y) % 256 + (2 * d + x + y) % 256 + (x * y + d) % 256
+
+    want = sum(
+        chan_sum(1, (x2 * 5) // RESIZE_W, (y2 * 3) // RESIZE_H)
+        for y2 in range(RESIZE_H)
+        for x2 in range(RESIZE_W)
+    )
+    assert (out["width"], out["height"]) == (RESIZE_W, RESIZE_H)
+    assert out["px_sum"] == want
+
+
+def test_epoch_schedule_invariants(spark, sf_dir):
+    """Allocation sums to ~the 3x budget; epochs never exceed the cap;
+    overflow is positive exactly where the cap binds."""
+    rows = QUERIES["epoch_schedule_budget"].build(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["m"] for r in rows)
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    assert abs(alloc - 3 * total) / (3 * total) < 0.01  # rounding slack only
+    for r in rows:
+        assert r["epochs"] <= 2.5 + 1e-9
+        assert r["epochs"] <= r["epochs_raw"] + 1e-9
+        if r["overflow_tokens"] > 0:
+            assert r["epochs_raw"] > 2.5
+        else:
+            assert r["epochs_raw"] <= 2.5 + 1e-9
