@@ -419,3 +419,128 @@ def epoch_schedule_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0.0), F.col("alloc_tokens") - EPOCH_MAX * F.col("m")), 2
         ).alias("overflow_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_dedup_state_probe
+# --------------------------------------------------------------------------
+
+#: Per-ROW minhash signature + banding, as one whole-stage-codegen SQL
+#: expression over the token array — the STREAMABLE formulation (no groupBy,
+#: so it runs inside an append-mode stream with zero aggregation state).
+#: Bit-identical to operators/similarity.minhash_signatures/lsh_bands: same
+#: '{seed}:{shingle}' md5-60bit mins (functions/hashing.h64), same seed-order
+#: '-'-joined md5 band signature.
+
+
+def _row_sig_col():
+    """16-element minhash signature array as ONE per-row Column over the
+    shingle array column ``sh`` (duplicates fine under MIN) — h64 is the
+    package's cross-engine seeded md5-60bit hash."""
+    from .round14q import SC_HASHES
+
+    def _seeded_min(s: int):
+        # NOTE: a `lambda x, s=s:` two-parameter form would make pyspark
+        # bind the second param to the ELEMENT INDEX (its (el, idx) lambda
+        # protocol) — the seed must be closed over via a factory instead.
+        return F.array_min(F.transform(F.col("sh"), lambda x: h64(x, s)))
+
+    return F.array(*[_seeded_min(s) for s in range(SC_HASHES)])
+
+
+def _row_bands_expr(sig_col: str = "sig") -> str:
+    from .round14q import SC_HASHES, SC_ROWS
+
+    n_bands = SC_HASHES // SC_ROWS
+    bands = ", ".join(
+        f"struct(CAST({b} AS BIGINT) AS band, md5(concat_ws('-', "
+        + ", ".join(
+            f"CAST(element_at({sig_col}, {b * SC_ROWS + r + 1}) AS STRING)"
+            for r in range(SC_ROWS)
+        )
+        + ")) AS band_sig)"
+        for b in range(n_bands)
+    )
+    return f"array({bands})"
+
+
+def _sig_band_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, band_sig) per-row from (doc_id, text) — shared by
+    the static state side and the streaming delta side (twin contract)."""
+    toks = df.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+    )
+    sh = toks.select("doc_id", F.expr(ngram_expr(3)).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sig = sh.select("doc_id", _row_sig_col().alias("sig"))
+    return sig.select(
+        "doc_id", "sig", F.explode(F.expr(_row_bands_expr())).alias("bb")
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+
+
+def _sql_state_probe_oracle() -> str:
+    from .round14q import _SQL_SC_HEAD, _sql_scored, SC_MIN_AGREE
+
+    return (
+        f"WITH {_SQL_SC_HEAD},"
+        " cand_s AS (SELECT DISTINCT d.doc_id AS doc_d, s.doc_id AS doc_s"
+        " FROM bands d JOIN bands s USING (band, band_sig)"
+        " WHERE d.doc_id % 2 = 1 AND s.doc_id % 2 = 0),"
+        f" sc_s AS ({_sql_scored('cand_s', 'doc_d', 'doc_s')})"
+        " SELECT doc_d, doc_s, CAST(n_agree AS BIGINT) AS n_agree"
+        f" FROM sc_s WHERE n_agree >= {SC_MIN_AGREE}"
+    )
+
+
+@register(
+    "streaming_dedup_state_probe",
+    oracle=_sql_state_probe_oracle(),
+    doc="STREAM-STATIC dedup probe — the streaming twin of "
+    "dedup_state_compaction's state-match stage and the catalog's "
+    "stream-static join: the delta (odd doc_ids) STREAMS while the "
+    "accumulated canonical state's LSH band index (even doc_ids) is a "
+    "static batch frame joined into every micro-batch. The stream side "
+    "uses the per-ROW minhash formulation (16 seeded mins + 4 band md5s "
+    "as ONE codegen expression over the token array — no aggregation, so "
+    "append mode needs no watermark and no state beyond the pair dedupe), "
+    "bit-identical to the aggregate-based operators/similarity chain; "
+    "signature agreement verifies candidates per-row via zip_with on the "
+    "two signature arrays — the verify join of the batch twin collapsed "
+    "into the band join itself. Emits every verified (delta doc, state "
+    "canonical, n_agree) pair; oracle is the batch twin's verified "
+    "state-match pair set, byte-same CTE text. At 100 TB the state index "
+    "is the only non-stream operand — exactly the shape of a production "
+    "ingest pipeline probing yesterday's index.",
+    tags=("streaming", "dedup", "minhash_sig", "lsh_band", "pipeline"),
+    bench=False,
+)
+def streaming_dedup_state_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_stats import documents_stream, run_available_now
+    from .round14q import SC_MIN_AGREE
+
+    state = _sig_band_frame(
+        spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        .filter(F.col("doc_id") % 2 == 0)
+    ).select(
+        F.col("doc_id").alias("doc_s"),
+        F.col("sig").alias("sig_s"),
+        "band",
+        "band_sig",
+    )
+    delta = _sig_band_frame(
+        documents_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    ).select(
+        F.col("doc_id").alias("doc_d"), F.col("sig").alias("sig_d"), "band", "band_sig"
+    )
+    j = delta.join(state, ["band", "band_sig"])  # stream-static equi-join
+    pairs = j.select(
+        "doc_d",
+        "doc_s",
+        F.expr(
+            "CAST(size(filter(zip_with(sig_d, sig_s, (a, b) -> a = b), x -> x)) AS BIGINT)"
+        ).alias("n_agree"),
+    ).filter(F.col("n_agree") >= SC_MIN_AGREE)
+    out = pairs.dropDuplicates(["doc_d", "doc_s"])
+    return run_available_now(out, output_mode="append")

@@ -142,3 +142,66 @@ def test_epoch_schedule_invariants(spark, sf_dir):
             assert r["epochs_raw"] > 2.5
         else:
             assert r["epochs_raw"] <= 2.5 + 1e-9
+
+
+def test_state_probe_reconciles_with_batch_twin(spark, sf_dir):
+    """The stream-static probe must emit EXACTLY the batch twin's verified
+    state-match pair set, and its per-doc MIN keeper must equal
+    dedup_state_compaction's dup_of_state keepers; the per-row minhash
+    formulation must agree bit-for-bit with the aggregate-based chain."""
+    pairs = QUERIES["streaming_dedup_state_probe"].build(spark, sf_dir).collect()
+    assert pairs
+    for r in pairs:
+        assert r["doc_d"] % 2 == 1 and r["doc_s"] % 2 == 0
+        assert r["n_agree"] >= 4
+    keepers = defaultdict(list)
+    for r in pairs:
+        keepers[r["doc_d"]].append(r["doc_s"])
+    want = {
+        r["doc_id"]: r["keeper_id"]
+        for r in QUERIES["dedup_state_compaction"].build(spark, sf_dir).collect()
+        if r["status"] == "dup_of_state"
+    }
+    assert {d: min(ks) for d, ks in keepers.items()} == want
+
+
+def test_row_sig_band_matches_aggregate_chain(spark, sf_dir):
+    """The per-row (streamable) minhash+banding expression is bit-identical
+    to the aggregate-based operators/similarity chain on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_mini_projects_spark.operators.similarity import (
+        lsh_bands,
+        minhash_signatures,
+        ngram_shingles,
+    )
+    from big_data_analytics_mini_projects_spark.plans.round14q import (
+        SC_HASHES,
+        SC_ROWS,
+    )
+    from big_data_analytics_mini_projects_spark.plans.round15q import (
+        _sig_band_frame,
+    )
+    from big_data_analytics_mini_projects_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mine = {
+        (r["doc_id"], r["band"]): r["band_sig"]
+        for r in _sig_band_frame(docs).collect()
+    }
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+    )
+    ref = {
+        (r["doc_id"], r["band"]): r["band_sig"]
+        for r in lsh_bands(
+            minhash_signatures(
+                ngram_shingles(toks, n=3, distinct=False),
+                token_col="shingle",
+                num_hashes=SC_HASHES,
+            ),
+            SC_ROWS,
+        ).collect()
+    }
+    assert mine == ref and len(mine) > 0
