@@ -30,6 +30,8 @@ MAP_IN_PANDAS_OK = {
     "multimodal_wav_decode",  # real stdlib WAV codec round trip
     "multimodal_bmp_decode",  # real stdlib BMP codec round trip
     "multimodal_png_decode",  # real stdlib zlib-compressed PNG round trip
+    "multimodal_bmp_resize",  # real NN resize round trip (parse->resample->
+                              # re-encode->decode, three Arrow stages)
 }
 BNLJ_OK = {
     # 1-row corpus-stats / bounded-K broadcast cross joins:
@@ -78,6 +80,8 @@ BNLJ_OK = {
     "cluster_size_histogram",
     # bounded-slice all-pairs cosine truth + 1-row n_truth broadcast
     "banded_width_recall",
+    # broadcast 1-row (denom, total) mix-denominator frame
+    "epoch_schedule_budget",
 }
 
 
