@@ -202,7 +202,7 @@ def cosine_topk_ivf(
 
 
 def embedding_near_pairs(
-    vectors: DataFrame, min_cos: float, key: str = "vec_id", max_rows: int = 50_000
+    vectors: DataFrame, min_cos: float, key: str = "vec_id", max_rows: int | None = 50_000
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (ka < kb, cos >= min_cos).
 
@@ -212,7 +212,11 @@ def embedding_near_pairs(
     input is counted up front and a frame larger than ``max_rows`` raises
     rather than silently planning a corpus x corpus cross join (50k rows is
     already 1.25e9 pair evaluations — the labeled brute-force ceiling; a
-    caller that genuinely wants more must say so explicitly)."""
+    caller that genuinely wants more must say so explicitly). Pass
+    ``max_rows=None`` to opt out AFTER blocking. NOTE: the guard's count
+    re-executes the upstream plan (the pair scan below runs it again twice
+    via self-join) — callers with an expensive unpersisted input should
+    ``.persist()`` it before calling."""
     if max_rows is not None:
         # limit(max_rows + 1) keeps the guard itself cheap on huge inputs:
         # the count job stops scanning after the first excess row.

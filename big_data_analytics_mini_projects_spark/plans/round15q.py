@@ -1,7 +1,7 @@
 """Round-10-budget forward batch (authored in round 9; registered at the
 catalog TAIL so the round-9 driver window is untouched — ROUND_QUEUE.md).
 
-Five queries extending the data-selection / tokenizer / dedup / multimodal
+Six queries extending the data-selection / tokenizer / dedup / multimodal
 / mixing families a large-scale training-data pipeline needs:
 
 - ``dsir_importance_weights`` — DSIR-style data selection (Xie et al. 2023,
@@ -37,6 +37,11 @@ Five queries extending the data-selection / tokenizer / dedup / multimodal
 - ``epoch_schedule_budget``  — data-constrained epoch scheduling: a 3x
   token budget allocated by temperature-mixed shares implies per-source
   epoch counts, capped, with the reallocatable overflow reported.
+- ``streaming_dedup_state_probe`` — STREAM-STATIC join dedup: the delta
+  streams against the static state band index; the per-ROW streamable
+  minhash+banding formulation (one codegen SQL expression, no aggregation
+  state) is pinned bit-identical to the aggregate chain in
+  tests/test_round15q.py::test_row_sig_band_matches_aggregate_chain.
 """
 
 from __future__ import annotations
@@ -251,12 +256,15 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = documents_stream(spark, sf_dir)
     toks = F.expr("filter(split(lower(text), ' '), x -> x <> '')")
-    t = docs.select(
+    # Filter BEFORE the projection drops `text` (round-9 ADVICE): the
+    # predicate must sit where its input column still exists, not lean on
+    # the analyzer reaching back into the child plan.
+    t = docs.filter(F.size(toks) >= ES_K).select(
         F.md5(F.expr(
             f"array_join(slice(filter(split(lower(text), ' '), x -> x <> ''), 1, {ES_K}), ' ')"
         )).alias("h"),
         "doc_id",
-    ).filter(F.size(toks) >= ES_K)
+    )
 
     def update(key, pdfs, state):
         import pandas as pd  # executor-side only
