@@ -6,91 +6,106 @@ exactly this catalog to the verification driver.
 
 REGISTRATION ORDER MATTERS: the correctness driver verifies exactly the FIRST
 50 catalog entries per round (registration order == import order below, then
-decorator order within a module; 50 confirmed by CORRECTNESS_r03..r08 all
+decorator order within a module; 50 confirmed by CORRECTNESS_r03..r09 all
 holding exactly the first-50 set of their round's ordering).
 
-ROUND-9 WINDOW (round-8 verdict items 1+2+3 + ROUND_QUEUE round-9 queue):
+ROUND-10 WINDOW (round-9 verdict item 1: clear the ENTIRE verification debt —
+6 never-driver-verified round15q queries + all 34 queries last checked <= r5):
 
-  1. round13q (6) — round-8-authored, never driver-verified:
-     streaming_mix_shares, bpe_merge_curve, repetition_quality_rules,
-     span_novelty_scan, doc_length_percentiles_by_source,
-     dedup_canonical_quality.
-  2. round14q (2) — the round-9 fresh budget (≤2 after round12q ×7 +
-     round13q ×6 consumed 13/15): dedup_state_compaction,
-     dedup_compaction_curve — the incremental MinHash-LSH state-maintenance
-     twins of incremental_snapshot_merge (verdict item 3).
-  3. round7q (9) + vectorq (3) + round8q (8) + privacyq (2) + graphq (1) —
-     the round-8 import-relocation re-stales: their definitions moved to
-     plans/shared.py re-imports AFTER their last driver verdicts; oracles
-     byte-identical, but the standing rule re-windows a changed module.
-  4. baselineq (4) — re-staled THIS round: operators/vector.py's
-     embedding_near_pairs gained an enforced row bound (round-8 verdict
-     item 6) and dedup_embedding_cosine is its only catalog consumer
-     (vectorq, the other vector.py importer, is already in tier 3).
-     baselineq imports vectorq at module level, so it must sit after it.
-  5. curationq (7) + qualityq (2) + fuzzydedupq (1) + statsq (5) — the
-     oldest driver greens (r4 cohort: all of curationq/qualityq/
-     fuzzydedupq plus statsq's corr_price_quantity; statsq's four r7 OLS
-     entries ride along). tpchx (3, also r4) does not fit this window —
-     same-session local differential recorded in ROUND_QUEUE instead;
-     it slots first among round-10 filler.
+  1. round13q (6) + round14q (2) — FORCED RIDERS, both r9-green: round15q
+     imports round13q at module level (bpe_merge_chain/_sql_bpe_chain) and
+     round14q inside its oracle-builder `_sql_state_probe_oracle()`, which
+     runs at decoration time — so both register before round15q no matter
+     what. Harmless re-verification of the round-9 fresh batch.
+  2. round15q (6) — the round-9-authored forward batch, never
+     driver-verified (positions 9-14). THE round-10 priority.
+  3. tpchx (3) — the r4 stale greens (q6/q14/q19), squeezed out of two
+     consecutive windows (positions 15-17).
+  4. textanalysisq (4) + corpusq (7) + pipelineq (4) + sketchq (3) +
+     tpchfull (13) — the r5 block (tpchfull's q2 is an r6 rider). Positions
+     18-48.
+  5. qaq — REORDERED this round (decorator order only, no logic change):
+     range_overlap_sessions (the module's one r5 query) and pmi_word_pairs
+     now register first, landing at positions 49-50. The module's other
+     three (label_drift_chi2, multimodal_png_decode,
+     streaming_session_windows — all r8 greens) spill to 51-53, mirrored by
+     the same-session local differential instead (ROUND_QUEUE.md, the
+     round-8 position-51 spill precedent).
 
-  Tier total: 6+2+9+3+8+2+1+4+7+2+1+5 = 50 — the window exactly.
+  Tier total: 6+2+6+3+4+7+4+3+13+2 = 50 — the window exactly.
 
-  DEPENDENCY NOTE: round13q/round14q depend only on plans/shared.py and
-  non-registering packages (operators/, functions/, sources/, caching) —
-  importing them first drags nothing. baselineq -> vectorq is the only
-  in-window plans-module import and points at an earlier tier. The
-  out-of-window order keeps similarityq before round11q before round12q
-  (module-level imports). The position probe in tests/test_plan_hygiene.py
-  pins the set.
+  round16q (the round-10 fresh batch: dedup_image_phash, semdedup_cells,
+  dedup_state_tombstones) registers at 54-56 as a FORWARD batch for the
+  round-11 window — the round-10 window is fully consumed clearing the
+  verification debt, and the round-9 verdict's done-criteria for items
+  2/3/7 are oracle+test+ledger, not a driver verdict (the round15q
+  precedent).
+
+  DEPENDENCY NOTE: module-level plan imports pin similarityq < round11q <
+  round12q, vectorq < baselineq, round13q < round15q (+ round14q < round15q
+  via the decoration-time oracle builder), and pipelineq/round14q <
+  round16q. All satisfied: pipelineq is window tier 4; round16q follows the
+  window. The position probe in tests/test_plan_hygiene.py pins the set.
 
 Round queues and history live in ROUND_QUEUE.md (round-5 verdict item 8) —
 this docstring stays the registration-order contract only.
 
-STANDING RULE (round-3 verdict item 1): any round that touches session.py or
-sources/ must re-window every timestamp-consuming query.
+STANDING RULES (ROUND_QUEUE.md has the full list): any round that touches
+session.py or sources/ must re-window every timestamp-consuming query; any
+query whose last driver verdict is >=3 rounds old outranks re-verification
+of fresher greens (round-9 verdict item 6).
 
 When adding a module/query, slot it BEFORE the already-green block so it gets
-driver coverage in its first round.
+driver coverage in its first round — unless the window is consumed by debt
+clearing, in which case register at the tail as a forward batch and ledger it
+locally (the round15q/round16q precedent).
 """
 
 from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
 # Each import populates the registry via @register side effects.
-# -- tier 1: never-driver-verified round-8 forward batch --
+# -- tier 1: forced riders (round15q's module-level / decoration-time deps) --
 from . import round13q  # noqa: F401
-
-# -- tier 2: round-9 fresh budget (incremental dedup-state maintenance) --
 from . import round14q  # noqa: F401
 
-# -- tier 3: round-8 import-relocation re-stales --
-from . import round7q  # noqa: F401
-from . import vectorq  # noqa: F401
-from . import round8q  # noqa: F401
-from . import privacyq  # noqa: F401
-from . import graphq  # noqa: F401
+# -- tier 2: the round-9 forward batch, never driver-verified --
+from . import round15q  # noqa: F401
 
-# -- tier 4: re-staled by this round's embedding_near_pairs hardening --
-from . import baselineq  # noqa: F401
+# -- tier 3: the r4 stale greens --
+from . import tpchx  # noqa: F401
 
-# -- tier 5: the r4-cohort stale greens (oldest driver verdicts) --
-from . import curationq  # noqa: F401
-from . import qualityq  # noqa: F401
-from . import fuzzydedupq  # noqa: F401
-from . import statsq  # noqa: F401
+# -- tier 4: the r5 block --
+from . import textanalysisq  # noqa: F401
+from . import corpusq  # noqa: F401
+from . import pipelineq  # noqa: F401
+from . import sketchq  # noqa: F401
+from . import tpchfull  # noqa: F401
 
-# -- outside the window: most recent driver greens first (r8), then r7/r6 --
-from . import round9q  # noqa: F401
-from . import round10q  # noqa: F401
+# -- tier 5: qaq, reordered so range_overlap_sessions (r5) + pmi_word_pairs
+# land at positions 49-50; its three r8 greens spill to 51-53 --
+from . import qaq  # noqa: F401
+
+# ---- driver window boundary (50) ----
+
+# -- round-10 fresh batch (forward — ROUND-11 window) --
+from . import round16q  # noqa: F401
+
+# -- outside the window: most recent driver greens first (r9/r8), then r7/r6 --
 from . import similarityq  # noqa: F401
 from . import round11q  # noqa: F401
 from . import round12q  # noqa: F401
+from . import vectorq  # noqa: F401
+from . import baselineq  # noqa: F401
+from . import round7q  # noqa: F401
+from . import round8q  # noqa: F401
+from . import privacyq  # noqa: F401
+from . import graphq  # noqa: F401
+from . import round9q  # noqa: F401
+from . import round10q  # noqa: F401
 from . import multimodalq  # noqa: F401
 from . import mlq  # noqa: F401
 from . import linalgq  # noqa: F401
 from . import streamequivq  # noqa: F401
-from . import qaq  # noqa: F401
 from . import warehouseq  # noqa: F401
 from . import decisionq  # noqa: F401
 from . import core  # noqa: F401
@@ -100,15 +115,7 @@ from . import sourcesq  # noqa: F401
 from . import relationalx  # noqa: F401
 from . import round6q  # noqa: F401
 from . import recommendq  # noqa: F401
-from . import tpchfull  # noqa: F401
-from . import textanalysisq  # noqa: F401
-from . import corpusq  # noqa: F401
-from . import sketchq  # noqa: F401
-from . import pipelineq  # noqa: F401
-from . import tpchx  # noqa: F401
-
-# -- tail: round-9-authored queries for the ROUND-10 window (never driver-
-# verified yet — deliberately registered AFTER every green module so the
-# round-9 rotation window above is untouched; see plans/round15q.py and
-# ROUND_QUEUE.md) --
-from . import round15q  # noqa: F401
+from . import curationq  # noqa: F401
+from . import qualityq  # noqa: F401
+from . import fuzzydedupq  # noqa: F401
+from . import statsq  # noqa: F401

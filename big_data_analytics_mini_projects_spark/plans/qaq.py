@@ -19,6 +19,84 @@ from ..streaming.stream_stats import events_stream, run_available_now
 from .registry import register
 from ..caching import persist_tracked
 
+MAX_US = (1 << 63) - 1  # open-interval sentinel for overlap arithmetic
+
+
+@register(
+    "range_overlap_sessions",
+    oracle=(
+        # SCD2 event-type runs (gaps-and-islands, as in scd2_user_event_intervals)
+        "WITH o AS (SELECT user_id, event_id, ts_us, event_type, "
+        "CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type "
+        "THEN 1 ELSE 0 END AS chg FROM ("
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), "
+        "isl AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS island FROM o), "
+        "runs AS (SELECT user_id, island, MIN(event_type) AS event_type, "
+        "MIN(ts_us) AS from_us FROM isl GROUP BY user_id, island), "
+        "iv AS (SELECT user_id, CAST(island AS BIGINT) AS seq, event_type, from_us, "
+        "coalesce(lead(from_us) OVER (PARTITION BY user_id ORDER BY island) - 1, "
+        f"{MAX_US}) AS eff_to FROM runs), "
+        # session windows (10-min gap, as in session_windows_users)
+        "se0 AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
+        "se1 AS (SELECT user_id, t, CASE WHEN lag(t) OVER w IS NULL "
+        "OR t - lag(t) OVER w >= 600000000 THEN 1 ELSE 0 END AS brk "
+        "FROM se0 WINDOW w AS (PARTITION BY user_id ORDER BY t)), "
+        "se2 AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM se1), "
+        "sess AS (SELECT user_id, MIN(t) AS session_start_us, "
+        "MAX(t) + 600000000 AS session_end_us FROM se2 GROUP BY user_id, sid) "
+        # interval-overlap join on user with the overlap length
+        "SELECT iv.user_id, iv.seq, iv.event_type, sess.session_start_us, "
+        "least(iv.eff_to, sess.session_end_us - 1) "
+        "- greatest(iv.from_us, sess.session_start_us) + 1 AS overlap_us "
+        "FROM iv JOIN sess ON iv.user_id = sess.user_id "
+        "AND iv.from_us < sess.session_end_us "
+        "AND sess.session_start_us <= iv.eff_to"
+    ),
+    doc="Range-x-range interval-overlap join — the interval algebra the "
+    "point-in-range queries don't cover: each user's SCD2 event-type runs "
+    "joined against their session windows where the two intervals overlap, "
+    "emitting the exact overlap length in micros (open runs handled via a "
+    "max-int64 sentinel, all integer arithmetic). Rides the user_id "
+    "equi-join with the overlap predicate as a residual — never a "
+    "cartesian/nested-loop — the same shape that scales to 100 TB because "
+    "per-user interval counts are bounded by that user's activity, not the "
+    "corpus. Reuses the scd2 and session-window builders end to end.",
+    tags=("range_join", "scd2", "window"),
+)
+def range_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpusq import scd2_user_event_intervals
+    from .samplingq import session_windows_users
+
+    iv = scd2_user_event_intervals(spark, sf_dir).select(
+        "user_id",
+        "seq",
+        "event_type",
+        "from_us",
+        F.when(F.col("to_us") == -1, F.lit(MAX_US))
+        .otherwise(F.col("to_us"))
+        .alias("eff_to"),
+    )
+    sess = session_windows_users(spark, sf_dir).select(
+        "user_id", "session_start_us", "session_end_us"
+    )
+    j = iv.join(sess, "user_id").filter(
+        (F.col("from_us") < F.col("session_end_us"))
+        & (F.col("session_start_us") <= F.col("eff_to"))
+    )
+    overlap = (
+        F.least(F.col("eff_to"), F.col("session_end_us") - 1)
+        - F.greatest(F.col("from_us"), F.col("session_start_us"))
+        + 1
+    )
+    return j.select(
+        "user_id", "seq", "event_type", "session_start_us",
+        overlap.alias("overlap_us"),
+    )
+
+
 PMI_MIN_PAIR = 5  # pair-count floor: rare pairs have unstable PMI
 PMI_TOPK = 30
 
@@ -219,81 +297,3 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(sw)
-
-
-MAX_US = (1 << 63) - 1  # open-interval sentinel for overlap arithmetic
-
-
-@register(
-    "range_overlap_sessions",
-    oracle=(
-        # SCD2 event-type runs (gaps-and-islands, as in scd2_user_event_intervals)
-        "WITH o AS (SELECT user_id, event_id, ts_us, event_type, "
-        "CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type "
-        "THEN 1 ELSE 0 END AS chg FROM ("
-        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events) "
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), "
-        "isl AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id "
-        "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS island FROM o), "
-        "runs AS (SELECT user_id, island, MIN(event_type) AS event_type, "
-        "MIN(ts_us) AS from_us FROM isl GROUP BY user_id, island), "
-        "iv AS (SELECT user_id, CAST(island AS BIGINT) AS seq, event_type, from_us, "
-        "coalesce(lead(from_us) OVER (PARTITION BY user_id ORDER BY island) - 1, "
-        f"{MAX_US}) AS eff_to FROM runs), "
-        # session windows (10-min gap, as in session_windows_users)
-        "se0 AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
-        "se1 AS (SELECT user_id, t, CASE WHEN lag(t) OVER w IS NULL "
-        "OR t - lag(t) OVER w >= 600000000 THEN 1 ELSE 0 END AS brk "
-        "FROM se0 WINDOW w AS (PARTITION BY user_id ORDER BY t)), "
-        "se2 AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id "
-        "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM se1), "
-        "sess AS (SELECT user_id, MIN(t) AS session_start_us, "
-        "MAX(t) + 600000000 AS session_end_us FROM se2 GROUP BY user_id, sid) "
-        # interval-overlap join on user with the overlap length
-        "SELECT iv.user_id, iv.seq, iv.event_type, sess.session_start_us, "
-        "least(iv.eff_to, sess.session_end_us - 1) "
-        "- greatest(iv.from_us, sess.session_start_us) + 1 AS overlap_us "
-        "FROM iv JOIN sess ON iv.user_id = sess.user_id "
-        "AND iv.from_us < sess.session_end_us "
-        "AND sess.session_start_us <= iv.eff_to"
-    ),
-    doc="Range-x-range interval-overlap join — the interval algebra the "
-    "point-in-range queries don't cover: each user's SCD2 event-type runs "
-    "joined against their session windows where the two intervals overlap, "
-    "emitting the exact overlap length in micros (open runs handled via a "
-    "max-int64 sentinel, all integer arithmetic). Rides the user_id "
-    "equi-join with the overlap predicate as a residual — never a "
-    "cartesian/nested-loop — the same shape that scales to 100 TB because "
-    "per-user interval counts are bounded by that user's activity, not the "
-    "corpus. Reuses the scd2 and session-window builders end to end.",
-    tags=("range_join", "scd2", "window"),
-)
-def range_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .corpusq import scd2_user_event_intervals
-    from .samplingq import session_windows_users
-
-    iv = scd2_user_event_intervals(spark, sf_dir).select(
-        "user_id",
-        "seq",
-        "event_type",
-        "from_us",
-        F.when(F.col("to_us") == -1, F.lit(MAX_US))
-        .otherwise(F.col("to_us"))
-        .alias("eff_to"),
-    )
-    sess = session_windows_users(spark, sf_dir).select(
-        "user_id", "session_start_us", "session_end_us"
-    )
-    j = iv.join(sess, "user_id").filter(
-        (F.col("from_us") < F.col("session_end_us"))
-        & (F.col("session_start_us") <= F.col("eff_to"))
-    )
-    overlap = (
-        F.least(F.col("eff_to"), F.col("session_end_us") - 1)
-        - F.greatest(F.col("from_us"), F.col("session_start_us"))
-        + 1
-    )
-    return j.select(
-        "user_id", "seq", "event_type", "session_start_us",
-        overlap.alias("overlap_us"),
-    )

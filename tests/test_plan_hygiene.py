@@ -32,6 +32,8 @@ MAP_IN_PANDAS_OK = {
     "multimodal_png_decode",  # real stdlib zlib-compressed PNG round trip
     "multimodal_bmp_resize",  # real NN resize round trip (parse->resample->
                               # re-encode->decode, three Arrow stages)
+    "dedup_image_phash",      # real BMP parse + dHash kernel (two Arrow
+                              # stages; the dedup itself is pure DataFrame)
 }
 BNLJ_OK = {
     # 1-row corpus-stats / bounded-K broadcast cross joins:
@@ -82,62 +84,68 @@ BNLJ_OK = {
     "banded_width_recall",
     # broadcast 1-row (denom, total) mix-denominator frame
     "epoch_schedule_budget",
+    # K=8 centroid frame (the kmeans_lloyd_step assignment, shared CTE)
+    "semdedup_cells",
 }
 
 
-#: Round-9 verification rotation (catalog.py tiers 1-5): the 6 never-
-#: driver-verified round13q entries, the 2 fresh round14q entries, the 23
-#: round-8 import-relocation re-stales (round7q/vectorq/round8q/privacyq/
-#: graphq — shared.py re-imports landed AFTER their last verdicts), the 4
-#: baselineq entries re-staled by this round's embedding_near_pairs row
-#: bound (operators/vector.py), and the r4-cohort stale greens (curationq/
-#: qualityq/fuzzydedupq + statsq's corr_price_quantity; the four OLS r7
-#: greens ride along). tpchx (also r4) did not fit — same-session local
-#: differential recorded in ROUND_QUEUE.md; it slots first in round 10.
-#: Every one below MUST register inside the driver's 50-entry window or it
-#: gets no fresh verdict this round.
-ROUND9_WINDOW_SET = {
-    # tier 1: round13q x6 — never driver-verified
+#: Round-10 verification rotation (catalog.py tiers 1-5; round-9 verdict
+#: item 1 — clear the ENTIRE verification debt in one window): the 6 never-
+#: driver-verified round15q entries plus ALL 34 queries last checked <= r5
+#: (tpchx r4, the r5 block, qaq's range_overlap_sessions). round13q x6 +
+#: round14q x2 are FORCED riders (round15q imports round13q at module level
+#: and round14q inside its decoration-time oracle builder); tpch_q2 (r6) and
+#: pmi_word_pairs (r8) ride with their modules. qaq was decorator-reordered
+#: so its one r5 query lands in-window; its other three (r8 greens:
+#: label_drift_chi2, multimodal_png_decode, streaming_session_windows)
+#: spill to positions 51-53 — same-session local differential recorded in
+#: ROUND_QUEUE.md (the round-8 position-51 spill precedent). The round-10
+#: fresh batch (round16q) registers at 54-56 as a forward batch for the
+#: round-11 window. Every name below MUST register inside the driver's
+#: 50-entry window or it gets no fresh verdict this round.
+ROUND10_WINDOW_SET = {
+    # tier 1: forced riders (round15q deps), r9-green re-verified
     "streaming_mix_shares", "bpe_merge_curve", "repetition_quality_rules",
     "span_novelty_scan", "doc_length_percentiles_by_source",
     "dedup_canonical_quality",
-    # tier 2: round14q x2 — the round-9 fresh budget
     "dedup_state_compaction", "dedup_compaction_curve",
-    # tier 3: the round-8 import-relocation re-stales
-    "ann_ivf_nprobe", "dedup_containment", "domain_lang_drift",
-    "chunk_dedup_boilerplate", "streaming_token_budget",
-    "dedup_exact_substring", "crawl_freshness_sample", "bm25f_title_body",
-    "streaming_domain_drift",
-    "ann_cosine_topk_blocked", "ann_multiprobe_topk",
-    "embedding_diversity_by_label",
-    "doc_freshness_by_event_time", "retention_cohorts_weekly",
-    "sliding_window_event_rate", "event_transition_counts",
-    "oov_rate_by_source", "domain_gini_tokens", "dedup_substring_multigrain",
-    "streaming_sessions_closed",
-    "pii_redaction", "quality_classifier_score",
-    "pagerank_trade_graph",
-    # tier 4: baselineq x4 — re-staled by the embedding_near_pairs bound
-    "ann_cosine_topk", "dedup_embedding_cosine", "ann_hyperplane_buckets",
-    "embedding_label_stats",
-    # tier 5: the r4-cohort stale greens
-    "dup_ngram_coverage", "repetition_ratios", "contamination_13gram",
-    "dedup_jaccard_prefix", "triangle_count_knn", "pack_sequences_2048",
-    "corpus_mix_quota",
-    "text_quality", "corpus_prep_pipeline",
-    "dedup_edit_distance",
-    "ols_simple_words", "ols_simple_words_zero_rows", "ols_multi_words",
-    "ols_words_pvalues", "corr_price_quantity",
+    # tier 2: round15q x6 — never driver-verified (THE round-10 priority)
+    "dsir_importance_weights", "bpe_fertility_by_source",
+    "streaming_dedup_docs", "multimodal_bmp_resize", "epoch_schedule_budget",
+    "streaming_dedup_state_probe",
+    # tier 3: tpchx x3 — the r4 stale greens
+    "tpch_q6_forecast_revenue", "tpch_q14_promo_revenue",
+    "tpch_q19_discounted_revenue",
+    # tier 4: the r5 block
+    "lang_id_ngram", "token_counts_by_source", "doc_fingerprints",
+    "tfidf_top_terms",
+    "bigram_lm_successors", "scd2_user_event_intervals",
+    "sample_weighted_reservoir", "embedding_int8_quantize",
+    "bloom_filter_join_prune", "embedding_zscore_by_label",
+    "skew_profile_events",
+    "dedup_incremental", "kmeans_lloyd_step", "funnel_conversion",
+    "bm25_top_terms",
+    "sketch_hll_users", "sketch_cm_heavy_hitters", "sketch_quantile_histogram",
+    "tpch_q2_min_price_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_parts",
+    "tpch_q12_priority_lines", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    # tier 5: qaq head (reordered): the r5 range join + its r8 neighbor
+    "range_overlap_sessions", "pmi_word_pairs",
 }
 
 
-def test_round9_window_positions():
+def test_round10_window_positions():
     """The driver checks exactly the first 50 registration positions
-    (CORRECTNESS_r03..r08 all hold exactly that set); the whole round-9
+    (CORRECTNESS_r03..r09 all hold exactly that set); the whole round-10
     verification rotation must sit inside them."""
     order = list(QUERIES)
-    late = {n for n in ROUND9_WINDOW_SET if order.index(n) >= 50}
+    late = {n for n in ROUND10_WINDOW_SET if order.index(n) >= 50}
     assert not late, f"outside the 50-entry driver window: {sorted(late)}"
-    assert len(ROUND9_WINDOW_SET) == 50
+    assert len(ROUND10_WINDOW_SET) == 50
 
 
 def test_catalog_plan_hygiene(spark, sf_dir):
@@ -381,3 +389,91 @@ def test_round13q_shapes_pinned(spark, sf_dir):
     assert len(exchanges) == 1 and exchanges[0].startswith("grp#"), exchanges
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_round15q_shapes_pinned(spark, sf_dir):
+    """Pin the round15q batch shapes (round-9 verdict item 5). (a)
+    dsir_importance_weights: the 512-row rate frame joins back as a
+    BroadcastHashJoin (never SortMerge — the corpus stream must stay
+    pipelined), its totals come from ONE analytic window over the dimension
+    frame (no second corpus scan, no 1-row cross join), and the only
+    exchanges key doc_id (the per-doc aggregate) or b (the 512-bucket rate
+    aggregate); at most two parquet scans of documents. (b)
+    bpe_fertility_by_source: corpus-scale exchanges key ONLY source (the
+    final fertility aggregate); every other exchange keys word — the
+    VOCAB-sized merge-chain frames (word types, not corpus rows) — and the
+    final spelling join rides a broadcast, never SortMerge."""
+    import re
+
+    spark.catalog.clearCache()
+
+    dw = QUERIES["dsir_importance_weights"].build(spark, sf_dir)
+    plan = dw._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all(
+        e.startswith(("doc_id#", "b#")) for e in exchanges
+    ), exchanges
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert len(re.findall(r"\bWindow ", plan)) == 1  # the 512-row totals
+
+    spark.catalog.clearCache()
+
+    bf = QUERIES["bpe_fertility_by_source"].build(spark, sf_dir)
+    plan = bf._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "SortMergeJoin" not in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all(
+        e.startswith(("word#", "source#")) for e in exchanges
+    ), sorted({e.split(",")[0] for e in exchanges})
+    assert any(e.startswith("source#") for e in exchanges)
+
+
+def test_round16q_shapes_pinned(spark, sf_dir):
+    """Pin the round-10 fresh batch shapes. (a) dedup_image_phash: exact
+    classes collapse FIRST — every exchange keys dhash or the pair-side
+    block/hash columns (ha), NEVER doc_id (the corpus never enters the
+    Hamming join); no cartesian/nested-loop anywhere. (b) semdedup_cells:
+    the only SortMerge-joined keys are vec_id (the assignment join-back)
+    and cell (the within-cell pair join) — cross-cell pairs are
+    structurally impossible; the centroid frame rides the allowlisted
+    broadcast. (c) dedup_state_tombstones: exchanges key only doc/band
+    frames (doc_id/doc_d/doc_b/band) — the tombstone fold never shuffles
+    on anything corpus-cross; no nested-loop joins at all."""
+    import re
+
+    spark.catalog.clearCache()
+
+    ip = QUERIES["dedup_image_phash"].build(spark, sf_dir)
+    plan = ip._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all(
+        e.startswith(("dhash#", "ha#", "b#", "v#")) for e in exchanges
+    ), sorted({e.split(",")[0] for e in exchanges})
+
+    spark.catalog.clearCache()
+
+    sd = QUERIES["semdedup_cells"].build(spark, sf_dir)
+    plan = sd._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    smj_keys = {
+        k.split("#")[0]
+        for keys in re.findall(r"SortMergeJoin\w* \[([^\]]*)\]", plan)
+        for k in keys.split(", ")
+    }
+    assert smj_keys <= {"vec_id", "cell", "kb"}, smj_keys
+    assert "CartesianProduct" not in plan
+
+    spark.catalog.clearCache()
+
+    ts = QUERIES["dedup_state_tombstones"].build(spark, sf_dir)
+    plan = ts._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all(
+        e.startswith(("doc_id#", "doc_d#", "doc_b#", "band#")) for e in exchanges
+    ), sorted({e.split(",")[0] for e in exchanges})
