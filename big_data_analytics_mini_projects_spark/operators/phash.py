@@ -44,6 +44,12 @@ PH_BITS = (PH_GRID_W - 1) * PH_GRID_H
 PH_BLOCK_BITS = 15
 PH_N_BLOCKS = PH_BITS // PH_BLOCK_BITS
 
+#: aHash grid: 6x10 CELLS -> 60 bits (bit = cell gray above the grid mean,
+#: compared exactly as g*60 > sum(g) — all integer, no division).
+AH_GRID_W = 6
+AH_GRID_H = 10
+AH_BITS = AH_GRID_W * AH_GRID_H
+
 
 def dhash_bmp(df: DataFrame, grid_w: int = PH_GRID_W, grid_h: int = PH_GRID_H) -> DataFrame:
     """(doc_id, payload) -> (doc_id, dhash): difference hash of a 24-bit
@@ -81,3 +87,70 @@ def dhash_bmp(df: DataFrame, grid_w: int = PH_GRID_W, grid_h: int = PH_GRID_H) -
             )
 
     return df.select("doc_id", "payload").mapInPandas(kernel, "doc_id long, dhash long")
+
+
+def _parse_bmp(raw: bytes) -> tuple[int, int, int, int]:
+    """(pixel offset, width, height, padded row length) of a 24-bit BMP."""
+    import struct
+
+    assert raw[:2] == b"BM"
+    off = struct.unpack_from("<I", raw, 10)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    assert bpp == 24 and w > 0 and h > 0
+    return off, w, h, (w * 3 + 3) & ~3
+
+
+def _grid_grays(raw: bytes, off: int, w: int, h: int, row_len: int,
+                grid_w: int, grid_h: int) -> list[int]:
+    """Row-major gray (r+g+b) grid under the floor NN map."""
+    out = []
+    for yr in range(grid_h):
+        base = off + (h - 1 - yr * h // grid_h) * row_len
+        for xc in range(grid_w):
+            sx3 = (xc * w // grid_w) * 3
+            out.append(raw[base + sx3] + raw[base + sx3 + 1] + raw[base + sx3 + 2])
+    return out
+
+
+def phashes_bmp(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, dhash, ahash): BOTH perceptual
+    fingerprints from ONE byte parse — the dHash of ``dhash_bmp`` (7x10
+    grid, horizontal gradient signs) plus the 60-bit average hash (6x10
+    cell grid, bit = cell gray strictly above the grid mean, compared as
+    the exact integer inequality g*60 > sum(g)). Two independent
+    fingerprint families over the same image let downstream dedup audit
+    their agreement (plans/round17q.dedup_image_ahash)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dhs, ahs = [], []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                off, w, h, row_len = _parse_bmp(raw)
+                dg = _grid_grays(raw, off, w, h, row_len, PH_GRID_W, PH_GRID_H)
+                dh = 0
+                for yr in range(PH_GRID_H):
+                    r0 = yr * PH_GRID_W
+                    for xc in range(PH_GRID_W - 1):
+                        if dg[r0 + xc + 1] > dg[r0 + xc]:
+                            dh |= 1 << (yr * (PH_GRID_W - 1) + xc)
+                ag = _grid_grays(raw, off, w, h, row_len, AH_GRID_W, AH_GRID_H)
+                tot = sum(ag)
+                ah = 0
+                for i, g in enumerate(ag):
+                    if g * AH_BITS > tot:
+                        ah |= 1 << i
+                dhs.append(dh)
+                ahs.append(ah)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash": pd.array(dhs, dtype="int64"),
+                    "ahash": pd.array(ahs, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, "doc_id long, dhash long, ahash long"
+    )

@@ -63,12 +63,13 @@ PH_MAX_HAMMING = 8  # the dedup_simhash verify gate, same 4x15 block regime
 _PH_BLOCK_MASK = (1 << PH_BLOCK_BITS) - 1  # 32767
 
 
-def _sql_gray(xs: str, ys: str) -> str:
+def _sql_gray(xs: str, ys: str, grid_w: int = PH_GRID_W, grid_h: int = PH_GRID_H) -> str:
     """Closed-form gray (r+g+b) of the synthetic BMP pixel pattern
     (operators/multimodal._bmp_pixel) at grid cell (xs, ys) under the floor
-    NN map — w = 4 + doc_id % 4, h = 2 + doc_id % 3."""
-    sx = f"(({xs}) * (4 + doc_id % 4)) // {PH_GRID_W}"
-    sy = f"(({ys}) * (2 + doc_id % 3)) // {PH_GRID_H}"
+    NN map — w = 4 + doc_id % 4, h = 2 + doc_id % 3. Grid dims default to
+    the dHash grid; round17q's aHash reuses this with its 6x10 grid."""
+    sx = f"(({xs}) * (4 + doc_id % 4)) // {grid_w}"
+    sy = f"(({ys}) * (2 + doc_id % 3)) // {grid_h}"
     return (
         f"((doc_id + 3 * ({sx}) + 7 * ({sy})) % 256"
         f" + (doc_id * 2 + ({sx}) + ({sy})) % 256"

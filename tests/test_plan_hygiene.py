@@ -34,6 +34,7 @@ MAP_IN_PANDAS_OK = {
                               # re-encode->decode, three Arrow stages)
     "dedup_image_phash",      # real BMP parse + dHash kernel (two Arrow
                               # stages; the dedup itself is pure DataFrame)
+    "dedup_image_ahash",      # same parse, dHash+aHash in one kernel
 }
 BNLJ_OK = {
     # 1-row corpus-stats / bounded-K broadcast cross joins:
@@ -86,6 +87,10 @@ BNLJ_OK = {
     "epoch_schedule_budget",
     # K=8 centroid frame (the kmeans_lloyd_step assignment, shared CTE)
     "semdedup_cells",
+    # broadcast-K centroid frames, one per sweep point (K <= 16)
+    "semdedup_k_sweep",
+    # broadcast 1-row state-size frame onto the 1-row disposition aggregate
+    "dedup_state_gc_metrics",
 }
 
 
