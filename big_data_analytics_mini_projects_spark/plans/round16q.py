@@ -134,7 +134,7 @@ _PH_BLOCKS_EXPR = "array(" + ", ".join(
     "checked end to end. Scale: two Arrow map stages + one groupBy; the "
     "Hamming join touches distinct hashes only (bounded by content "
     "diversity, never corpus rows).",
-    tags=("dedup", "multimodal", "lsh_band", "minhash_sig"),
+    tags=("dedup", "multimodal", "lsh_band", "minhash_sig", "phash"),
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
@@ -210,7 +210,7 @@ FROM av LEFT JOIN k USING (vec_id)"""
     "the cell blocking is the algorithm's scale bound (K grows with the "
     "corpus so per-cell work stays bounded); the within-cell join is an "
     "equi-join on the cell id, shuffle-partitioned by cell.",
-    tags=("dedup", "ann", "pipeline"),
+    tags=("dedup", "ann", "pipeline", "semdedup"),
 )
 def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = persist_tracked(

@@ -82,7 +82,7 @@ JOIN dh ON ah.doc_id = dh.doc_id JOIN dcls USING (dhash)"""
     "is differentially pinned twice over. Scale: one Arrow map stage, two "
     "hash-keyed groupBys, one doc_id-keyed join — corpus-linear, no pair "
     "term at all.",
-    tags=("dedup", "multimodal", "minhash_sig"),
+    tags=("dedup", "multimodal", "minhash_sig", "phash"),
 )
 def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
@@ -154,7 +154,7 @@ _SQL_SEM_SWEEP = (
     "semdedup_cells (tests/test_round17q.py). Engine folds the four Ks "
     "over ONE persisted vector frame — assignment is a broadcast-K join "
     "per sweep point, pair scans stay cell-blocked equi-joins.",
-    tags=("dedup", "ann", "pipeline", "quality"),
+    tags=("dedup", "ann", "pipeline", "quality", "semdedup"),
 )
 def semdedup_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = persist_tracked(
