@@ -183,6 +183,48 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEM_TAU = NEAR_MIN_COS  # the shared embedding-near threshold (shared.py)
 
+#: Pair-join salt width: the within-cell self-join keyed on `cell` alone has
+#: parallelism K — pathological at small K (one task owns a whole cell's
+#: quadratic pair scan; measured: the K=2 sweep point ran ONE task for 20+
+#: minutes at sf1). Bucketing the smaller-id side by vec_id % B and
+#: replicating the larger-id side across the B buckets keeps the pair set
+#: EXACT while lifting parallelism to K x B — the cf_item_similarity_salted
+#: pattern applied to pair generation.
+SEM_PAIR_BUCKETS = 16
+
+
+def _cell_pair_flags(av: DataFrame, tau: float) -> DataFrame:
+    """(kb, ka, is_dup) for EVERY within-cell pair (ka < kb), is_dup =
+    cosine >= tau, generated via the salted (cell, bucket) equi-join above.
+    ``av`` carries (vec_id, cell, v, norm). Consumers filter or aggregate
+    the flag (semdedup_cells keeps dup pairs; the round17q K-sweep counts
+    evaluated vs dup pairs)."""
+    y = av.select(
+        F.col("vec_id").alias("ka"), "cell", F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        F.pmod(F.col("vec_id"), F.lit(SEM_PAIR_BUCKETS)).alias("bkt"),
+    )
+    x = av.select(
+        F.col("vec_id").alias("kb"), "cell", F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    ).withColumn(
+        # long literals: pmod(vec_id, 16) is bigint — matching types keep the
+        # join key cast-free (and the shape pin's key parse clean)
+        "bkt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(SEM_PAIR_BUCKETS)])),
+    )
+    return (
+        x.join(y, ["cell", "bkt"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            "kb",
+            "ka",
+            (
+                (F.expr(_dot("vb", "va")) / (F.col("nb") * F.col("na"))) >= tau
+            ).alias("is_dup"),
+        )
+    )
+
 _SQL_SEMDEDUP = f"""WITH {_SQL_KM},
 av AS (SELECT a.vec_id, a.cid AS cell, e.v FROM assign a JOIN e USING (vec_id)),
 pp AS (SELECT x.vec_id AS kb, y.vec_id AS ka FROM av x JOIN av y
@@ -208,8 +250,9 @@ FROM av LEFT JOIN k USING (vec_id)"""
     "keeper, the published per-cluster pruning that complements the "
     "SRP-bucket syntactic path. Cross-cell pairs are never generated — "
     "the cell blocking is the algorithm's scale bound (K grows with the "
-    "corpus so per-cell work stays bounded); the within-cell join is an "
-    "equi-join on the cell id, shuffle-partitioned by cell.",
+    "corpus so per-cell work stays bounded); the within-cell join is a "
+    "salted (cell, vec_id%16) equi-join — pair set exact, parallelism "
+    "K x 16 instead of K (the cf_item_similarity_salted pattern).",
     tags=("dedup", "ann", "pipeline", "semdedup"),
 )
 def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,21 +279,12 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("best.cid").alias("cell"))
     )
     av = persist_tracked(asg.join(vecs, "vec_id").select("vec_id", "cell", "v", "norm"))
-    x = av.select(
-        F.col("vec_id").alias("kb"), "cell", F.col("v").alias("vb"), F.col("norm").alias("nb")
+    k = (
+        _cell_pair_flags(av, SEM_TAU)
+        .filter(F.col("is_dup"))
+        .groupBy("kb")
+        .agg(F.min("ka").alias("keeper"))
     )
-    y = av.select(
-        F.col("vec_id").alias("ka"), "cell", F.col("v").alias("va"), F.col("norm").alias("na")
-    )
-    pp = (
-        x.join(y, "cell")
-        .filter(F.col("ka") < F.col("kb"))
-        .filter(
-            F.expr(_dot("vb", "va")) / (F.col("nb") * F.col("na")) >= SEM_TAU
-        )
-        .select("kb", "ka")
-    )
-    k = pp.groupBy("kb").agg(F.min("ka").alias("keeper"))
     return (
         av.select("vec_id", "cell")
         .join(k, av.vec_id == k.kb, "left")

@@ -38,7 +38,14 @@ from ..operators.phash import AH_BITS, AH_GRID_H, AH_GRID_W, phashes_bmp
 from ..operators.vector import _dot, prepare_vectors
 from ..sources.tables import load_table, spread
 from .registry import register
-from .round16q import SEM_TAU, _SQL_DHASH, _SQL_TOMBSTONES, _sql_gray, TOMB_MOD
+from .round16q import (
+    SEM_TAU,
+    _SQL_DHASH,
+    _SQL_TOMBSTONES,
+    _cell_pair_flags,
+    _sql_gray,
+    TOMB_MOD,
+)
 
 # --------------------------------------------------------------------------
 # dedup_image_ahash
@@ -183,25 +190,7 @@ def semdedup_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.col("best.cid").alias("cell"))
         )
         av = asg.join(vecs, "vec_id").select("vec_id", "cell", "v", "norm")
-        x = av.select(
-            F.col("vec_id").alias("kb"), "cell", F.col("v").alias("vb"),
-            F.col("norm").alias("nb"),
-        )
-        y = av.select(
-            F.col("vec_id").alias("ka"), "cell", F.col("v").alias("va"),
-            F.col("norm").alias("na"),
-        )
-        pp = (
-            x.join(y, "cell")
-            .filter(F.col("ka") < F.col("kb"))
-            .select(
-                "kb",
-                (
-                    (F.expr(_dot("vb", "va")) / (F.col("nb") * F.col("na")))
-                    >= SEM_TAU
-                ).alias("is_dup"),
-            )
-        )
+        pp = _cell_pair_flags(av, SEM_TAU)
         rows.append(
             pp.groupBy().agg(
                 F.count(F.lit(1)).alias("n_pairs_eval"),

@@ -469,7 +469,9 @@ def test_round16q_shapes_pinned(spark, sf_dir):
         for keys in re.findall(r"SortMergeJoin\w* \[([^\]]*)\]", plan)
         for k in keys.split(", ")
     }
-    assert smj_keys <= {"vec_id", "cell", "kb"}, smj_keys
+    # the within-cell pair join is salted: (cell, bkt) keys lift its
+    # parallelism from K to K x SEM_PAIR_BUCKETS (pair set exact)
+    assert smj_keys <= {"vec_id", "cell", "bkt", "kb"}, smj_keys
     assert "CartesianProduct" not in plan
 
     spark.catalog.clearCache()
