@@ -44,7 +44,6 @@ from .round16q import (
     _SQL_TOMBSTONES,
     _cell_pair_flags,
     _sql_gray,
-    TOMB_MOD,
 )
 
 # --------------------------------------------------------------------------
