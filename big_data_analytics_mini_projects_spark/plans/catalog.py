@@ -35,13 +35,16 @@ ROUND-10 WINDOW (round-9 verdict item 1: clear the ENTIRE verification debt —
   Tier total: 6+2+6+3+4+7+4+3+13+2 = 50 — the window exactly.
 
   round16q (the round-10 fresh batch: dedup_image_phash, semdedup_cells,
-  dedup_state_tombstones) registers at 54-56 and round17q (part 2:
-  dedup_image_ahash, semdedup_k_sweep, dedup_state_gc_metrics) at 57-59 —
-  FORWARD batches for the round-11 window (round-10 budget 12/15 with
-  round15q). The round-10 window is fully consumed clearing the
-  verification debt, and the round-9 verdict's done-criteria for items
-  2/3/7 are oracle+test+ledger, not a driver verdict (the round15q
-  precedent).
+  dedup_state_tombstones) registers at 54-56, round17q (part 2:
+  dedup_image_ahash, semdedup_k_sweep, dedup_state_gc_metrics) at 57-59,
+  and round18q (part 3: pack_with_salvage) at 60 — FORWARD batches for the
+  round-11 window (round-10 budget 13/15 with round15q). round18q
+  deliberately REBUILDS the dedup_exact_substring CTE from shared
+  primitives instead of importing round7q/round12q (byte-equality pinned
+  by test) so it carries NO forced riders into the round-11 window. The
+  round-10 window is fully consumed clearing the verification debt, and
+  the round-9 verdict's done-criteria for items 2/3/7 are
+  oracle+test+ledger, not a driver verdict (the round15q precedent).
 
   DEPENDENCY NOTE: module-level plan imports pin similarityq < round11q <
   round12q, vectorq < baselineq, round13q < round15q (+ round14q < round15q
@@ -92,6 +95,7 @@ from . import qaq  # noqa: F401
 # -- round-10 fresh batch (forward — ROUND-11 window) --
 from . import round16q  # noqa: F401
 from . import round17q  # noqa: F401
+from . import round18q  # noqa: F401
 
 # -- outside the window: most recent driver greens first (r9/r8), then r7/r6 --
 from . import similarityq  # noqa: F401
