@@ -23,13 +23,14 @@ per shard). The three rows' token totals answer "how many tokens does
 salvage recover over drop-doc, and what does packing them cost".
 
 The duplicate-span machinery is BYTE-IDENTICAL to dedup_exact_substring:
-the oracle reuses round7q's ``_SQL_ES`` CTE text verbatim, and the engine
-rebuilds the same chain from the same shared helpers (span_col / h64 /
-ES_K — plans/shared.py; round7q.py itself is deliberately not edited: its
-nine queries are driver-green and outside the round-10 window). The
-reconciliation total_raw == total_salvaged + dropped_fragments +
-duplicated_covered is pinned against dedup_exact_substring's per-doc
-dup_tokens in tests/test_round18q.py.
+the oracle REBUILDS round7q's ``_SQL_ES`` CTE from the same primitives
+(h64_sql / ES_K) with byte-equality pinned by test — deliberately not
+imported, because a module-level round7q/round12q import would force 31
+green queries to register first (the forced-rider rule, ROUND_QUEUE.md) —
+and the engine rebuilds the same chain from the shared helpers (span_col /
+h64 / ES_K). The raw-vs-salvage token gap is reconciled against
+dedup_exact_substring's per-doc dup_tokens (bracketed by the sub-minimum
+fragment bound) in tests/test_round18q.py.
 """
 
 from __future__ import annotations
@@ -152,7 +153,11 @@ def pack_with_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
     ).select("doc_id", F.size("toks").cast("long").alias("n_tok"), "toks")
-    d = persist_tracked(d)
+    # persist ONLY the scalar projection: caching the token arrays at 5M
+    # docs (sf100 ledger) starved the span-frequency aggregate of execution
+    # memory — re-tokenizing on the second pass is cheaper than caching
+    # corpus-scale arrays (measured: AGGREGATE_OUT_OF_MEMORY -> green)
+    dn = persist_tracked(d.select("doc_id", "n_tok"))
     # duplicate-span islands — the dedup_exact_substring chain over the
     # shared helpers (round7q.py:387; not imported as code so that module
     # stays untouched, but span/hash/merge construction is identical)
@@ -192,7 +197,7 @@ def pack_with_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tails = (
         ib.groupBy("doc_id")
         .agg(F.max("e").alias("me"))
-        .join(d.select("doc_id", "n_tok"), "doc_id")
+        .join(dn, "doc_id")
         .select("doc_id", (F.col("n_tok") - F.col("me") - 1).alias("L"))
     )
     sv = (
@@ -205,7 +210,7 @@ def pack_with_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     perdoc = (
-        d.select("doc_id", "n_tok")
+        dn
         .join(sv, "doc_id", "left")
         .select(
             "doc_id",
