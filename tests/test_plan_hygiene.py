@@ -484,3 +484,53 @@ def test_round16q_shapes_pinned(spark, sf_dir):
     assert exchanges and all(
         e.startswith(("doc_id#", "doc_d#", "doc_b#", "band#")) for e in exchanges
     ), sorted({e.split(",")[0] for e in exchanges})
+
+
+def test_round17q_round18q_shapes_pinned(spark, sf_dir):
+    """Pin the round-10 part-2/3 batch shapes. (a) dedup_image_ahash has NO
+    pair term at all: exchanges key only the two fingerprint columns, no
+    sort-merge or nested-loop joins anywhere, and the corpus parquet is
+    scanned a bounded number of times. (b) semdedup_k_sweep: the only
+    SortMerge keys are the salted (cell, bkt) pair join; corpus exchanges
+    key vec_id / cell / the dup-flag aggregate — never a raw pair column.
+    (c) dedup_state_gc_metrics inherits the tombstone fold's doc/band-only
+    exchange discipline with a single allowlisted 1-row broadcast.
+    (d) pack_with_salvage: exchanges key doc_id, the span hash h, or the
+    shard grouping expression — the span stream itself is never a shuffle
+    key (no span-keyed scatter), and no nested-loop joins appear."""
+    import re
+
+    def shapes(name):
+        spark.catalog.clearCache()
+        df = QUERIES[name].build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        ex = {
+            e.split(",")[0].split("#")[0]
+            for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        }
+        smj = {
+            k.split("#")[0]
+            for ks in re.findall(r"SortMergeJoin\w* \[([^\]]*)\]", plan)
+            for k in ks.split(", ")
+        }
+        return plan, ex, smj
+
+    plan, ex, smj = shapes("dedup_image_ahash")
+    assert ex <= {"ahash", "dhash"}, ex
+    assert not smj and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") <= 3
+
+    plan, ex, smj = shapes("semdedup_k_sweep")
+    assert smj <= {"cell", "bkt"}, smj
+    assert ex <= {"vec_id", "cell", "CASE WHEN is_dup"}, ex
+    assert "CartesianProduct" not in plan
+
+    plan, ex, smj = shapes("dedup_state_gc_metrics")
+    assert ex <= {"doc_id", "doc_d", "doc_b", "band"}, ex
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    plan, ex, smj = shapes("pack_with_salvage")
+    assert ex <= {"doc_id", "h", "_groupingexpression"}, ex
+    assert not any(k.startswith("span") or k.startswith("pos") for k in ex)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
