@@ -470,3 +470,71 @@ def test_dsum_varchar_bridge_parity_past_2pow53(spark, duck):
 
     assert got_spark == truth, f"spark {got_spark!r} != decimal truth {truth!r}"
     assert got_duck == truth, f"duckdb {got_duck!r} != decimal truth {truth!r}"
+
+
+def test_phash_kernels_match_bruteforce_on_random_bmps(spark):
+    """dhash_bmp / phashes_bmp parse REAL bytes (header offset, bottom-up
+    rows, 4-byte padding); this re-derives both hashes from the pixel
+    MATRIX directly — never touching bytes — over random geometries
+    (including w or h of 1, where the floor NN map degenerates) and random
+    pixel content, so any byte-layout misunderstanding diverges."""
+    import struct
+
+    from big_data_analytics_mini_projects_spark.operators.phash import (
+        AH_BITS,
+        AH_GRID_H,
+        AH_GRID_W,
+        PH_GRID_H,
+        PH_GRID_W,
+        phashes_bmp,
+    )
+
+    def encode(px):  # px[y][x] = (r, g, b), top-down image coordinates
+        h, w = len(px), len(px[0])
+        row_len = (w * 3 + 3) & ~3
+        hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + row_len * h, 0, 0, 54)
+        hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_len * h,
+                           2835, 2835, 0, 0)
+        body = b"".join(
+            b"".join(bytes((b, g, r)) for (r, g, b) in px[y])
+            + b"\x00" * (row_len - w * 3)
+            for y in range(h - 1, -1, -1)
+        )
+        return hdr + body
+
+    def gray_grid(px, gw, gh):
+        h, w = len(px), len(px[0])
+        return [
+            [sum(px[y * h // gh][x * w // gw]) for x in range(gw)]
+            for y in range(gh)
+        ]
+
+    def ref_dhash(px):
+        g = gray_grid(px, PH_GRID_W, PH_GRID_H)
+        out = 0
+        for y in range(PH_GRID_H):
+            for x in range(PH_GRID_W - 1):
+                if g[y][x + 1] > g[y][x]:
+                    out |= 1 << (y * (PH_GRID_W - 1) + x)
+        return out
+
+    def ref_ahash(px):
+        g = [v for row in gray_grid(px, AH_GRID_W, AH_GRID_H) for v in row]
+        tot = sum(g)
+        return sum(1 << i for i, v in enumerate(g) if v * AH_BITS > tot)
+
+    rng = random.Random(45054)
+    images = {}
+    for i in range(40):
+        w, h = rng.randrange(1, 13), rng.randrange(1, 11)
+        images[i] = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+    df = spark.createDataFrame(
+        [(i, bytearray(encode(px))) for i, px in images.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: (r["dhash"], r["ahash"]) for r in phashes_bmp(df).collect()}
+    assert got == {i: (ref_dhash(px), ref_ahash(px)) for i, px in images.items()}
