@@ -58,29 +58,17 @@ def dhash_bmp(df: DataFrame, grid_w: int = PH_GRID_W, grid_h: int = PH_GRID_H) -
     when gray(x+1, y) > gray(x, y)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         for pdf in batches:
             hashes = []
             for p in pdf["payload"]:
                 raw = bytes(p)
-                assert raw[:2] == b"BM"
-                off = struct.unpack_from("<I", raw, 10)[0]
-                w, h = struct.unpack_from("<ii", raw, 18)
-                bpp = struct.unpack_from("<H", raw, 28)[0]
-                assert bpp == 24 and w > 0 and h > 0
-                row_len = (w * 3 + 3) & ~3
+                g = _grid_grays(raw, *_parse_bmp(raw), grid_w, grid_h)
                 hsh = 0
                 for yr in range(grid_h):
-                    sy = yr * h // grid_h
-                    base = off + (h - 1 - sy) * row_len  # file rows bottom-up
-                    prev = -1
-                    for xc in range(grid_w):
-                        sx3 = (xc * w // grid_w) * 3
-                        g = raw[base + sx3] + raw[base + sx3 + 1] + raw[base + sx3 + 2]
-                        if xc and g > prev:
-                            hsh |= 1 << (yr * (grid_w - 1) + (xc - 1))
-                        prev = g
+                    r0 = yr * grid_w
+                    for xc in range(grid_w - 1):
+                        if g[r0 + xc + 1] > g[r0 + xc]:
+                            hsh |= 1 << (yr * (grid_w - 1) + xc)
                 hashes.append(hsh)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "dhash": pd.array(hashes, dtype="int64")}

@@ -87,32 +87,119 @@ _SQL_DHASH = (
     f"ELSE 0::BIGINT END)))) AS BIGINT)"
 )
 
-_SQL_PHASH = f"""WITH ph AS (SELECT doc_id, {_SQL_DHASH} AS dhash FROM documents),
-cls AS (SELECT dhash, MIN(doc_id) AS ck FROM ph GROUP BY dhash),
-blk AS (SELECT dhash, ck, b, (dhash >> CAST(b * {PH_BLOCK_BITS} AS INTEGER))
+def _sql_blocked_near_ctes(src: str, hcol: str, p: str = "") -> str:
+    """Parametric CTE chain — exact hash classes -> 4x15-bit block scatter
+    -> shared-block candidates -> Hamming<=8 verify -> per-hash min near
+    keeper — over CTE ``src``'s (doc_id, ``hcol``) rows. The single SQL
+    source for every 60-bit-fingerprint dedup oracle (dHash here, aHash
+    and the audio fingerprint in round19q); ``p`` prefixes the CTE names
+    so two fingerprint families can coexist in one statement."""
+    return f"""{p}cls AS (SELECT {hcol}, MIN(doc_id) AS ck FROM {src} GROUP BY {hcol}),
+{p}blk AS (SELECT {hcol}, ck, b, ({hcol} >> CAST(b * {PH_BLOCK_BITS} AS INTEGER))
         & {_PH_BLOCK_MASK} AS v
-        FROM (SELECT dhash, ck, unnest(range({PH_N_BLOCKS})) AS b FROM cls)),
-cand AS (SELECT DISTINCT a.dhash AS ha, a.ck AS ka, c.dhash AS hb, c.ck AS kb
-         FROM blk a JOIN blk c ON a.b = c.b AND a.v = c.v WHERE a.dhash < c.dhash),
-ver AS (SELECT * FROM cand WHERE bit_count(xor(ha, hb)) <= {PH_MAX_HAMMING}),
-near AS (SELECT dhash, MIN(ok) AS nk FROM (
-  SELECT ha AS dhash, kb AS ok FROM ver UNION ALL SELECT hb, ka FROM ver)
-  GROUP BY dhash)
-SELECT p.doc_id, p.dhash,
-  CASE WHEN p.doc_id <> c.ck THEN 'exact_dup'
-       WHEN n.nk IS NOT NULL AND n.nk < c.ck THEN 'near_dup'
-       ELSE 'canonical' END AS status,
-  CASE WHEN p.doc_id <> c.ck THEN c.ck
-       ELSE LEAST(c.ck, COALESCE(n.nk, c.ck)) END AS keeper_id
-FROM ph p JOIN cls c USING (dhash) LEFT JOIN near n USING (dhash)"""
+        FROM (SELECT {hcol}, ck, unnest(range({PH_N_BLOCKS})) AS b FROM {p}cls)),
+{p}cand AS (SELECT DISTINCT a.{hcol} AS ha, a.ck AS ka, c.{hcol} AS hb, c.ck AS kb
+         FROM {p}blk a JOIN {p}blk c ON a.b = c.b AND a.v = c.v
+         WHERE a.{hcol} < c.{hcol}),
+{p}ver AS (SELECT * FROM {p}cand WHERE bit_count(xor(ha, hb)) <= {PH_MAX_HAMMING}),
+{p}near AS (SELECT {hcol}, MIN(ok) AS nk FROM (
+  SELECT ha AS {hcol}, kb AS ok FROM {p}ver UNION ALL SELECT hb, ka FROM {p}ver)
+  GROUP BY {hcol})"""
 
-#: The 4x15-bit block scatter of the class roster, as one generated array
-#: expression (the streaming_dedup_state_probe idiom).
-_PH_BLOCKS_EXPR = "array(" + ", ".join(
-    f"struct(CAST({b} AS INT) AS b, "
-    f"shiftright(dhash, {b * PH_BLOCK_BITS}) & {_PH_BLOCK_MASK} AS v)"
-    for b in range(PH_N_BLOCKS)
-) + ")"
+
+def _sql_hash_disp_cte(src: str, hcol: str, p: str = "", out: str = "disp") -> str:
+    """Per-doc disposition CTE (exact_dup / near_dup / canonical + keeper)
+    over a fingerprint CTE and its ``_sql_blocked_near_ctes`` chain."""
+    return (
+        f"{out} AS (SELECT p.doc_id, p.{hcol},\n"
+        "  CASE WHEN p.doc_id <> c.ck THEN 'exact_dup'\n"
+        "       WHEN n.nk IS NOT NULL AND n.nk < c.ck THEN 'near_dup'\n"
+        "       ELSE 'canonical' END AS status,\n"
+        "  CASE WHEN p.doc_id <> c.ck THEN c.ck\n"
+        "       ELSE LEAST(c.ck, COALESCE(n.nk, c.ck)) END AS keeper_id\n"
+        f"FROM {src} p JOIN {p}cls c USING ({hcol}) "
+        f"LEFT JOIN {p}near n USING ({hcol}))"
+    )
+
+
+#: Composable CTE chain (hash -> exact classes -> blocked Hamming near
+#: frame -> per-doc disposition ``idisp``) shared by this query's oracle
+#: and round19q's cross-modal join: the CTE text is the single source, so
+#: the image leg cannot drift.
+_SQL_PHASH_CTES = (
+    f"ph AS (SELECT doc_id, {_SQL_DHASH} AS dhash FROM documents),\n"
+    + _sql_blocked_near_ctes("ph", "dhash")
+    + ",\n"
+    + _sql_hash_disp_cte("ph", "dhash", out="idisp")
+)
+
+_SQL_PHASH = f"""WITH {_SQL_PHASH_CTES}
+SELECT doc_id, dhash, status, keeper_id FROM idisp"""
+
+def _ph_blocks_expr(hcol: str = "dhash") -> str:
+    """The 4x15-bit block scatter of the class roster, as one generated
+    array expression (the streaming_dedup_state_probe idiom) — parametric
+    on the fingerprint column so the dHash/aHash/audio paths share it."""
+    return "array(" + ", ".join(
+        f"struct(CAST({b} AS INT) AS b, "
+        f"shiftright({hcol}, {b * PH_BLOCK_BITS}) & {_PH_BLOCK_MASK} AS v)"
+        for b in range(PH_N_BLOCKS)
+    ) + ")"
+
+
+#: Kept for the round-10 shape pins' import surface.
+_PH_BLOCKS_EXPR = _ph_blocks_expr("dhash")
+
+
+def _blocked_near_frame(cls: DataFrame, hcol: str) -> DataFrame:
+    """(``hcol``, nk): for each distinct fingerprint in the class roster
+    ``cls`` (hcol, ck), the MIN exact-class keeper among its verified
+    Hamming<=8 neighbors — candidates only from the 4x15-bit block
+    equi-join (recall-complete to Hamming 3 by pigeonhole). The engine
+    single-source of the blocked-near shape for every 60-bit fingerprint
+    family."""
+    blk = cls.select(hcol, "ck", F.explode(F.expr(_ph_blocks_expr(hcol))).alias("bb")).select(
+        hcol, "ck", F.col("bb.b").alias("b"), F.col("bb.v").alias("v")
+    )
+    a = blk.select(F.col(hcol).alias("ha"), F.col("ck").alias("ka"), "b", "v")
+    c = blk.select(F.col(hcol).alias("hb"), F.col("ck").alias("kb"), "b", "v")
+    ver = (
+        a.join(c, ["b", "v"])
+        .filter(F.col("ha") < F.col("hb"))
+        .select("ha", "ka", "hb", "kb")
+        .distinct()
+        .filter(F.expr(f"bit_count(ha ^ hb) <= {PH_MAX_HAMMING}"))
+    )
+    return (
+        ver.select(F.col("ha").alias(hcol), F.col("kb").alias("ok"))
+        .unionByName(ver.select(F.col("hb").alias(hcol), F.col("ka").alias("ok")))
+        .groupBy(hcol)
+        .agg(F.min("ok").alias("nk"))
+    )
+
+
+def _hash_disposition(ph: DataFrame, hcol: str) -> DataFrame:
+    """(doc_id, hcol, status, keeper_id): exact-class collapse + blocked
+    near merge over a per-doc fingerprint frame — the engine twin of
+    ``_sql_hash_disp_cte`` (exact_dup / near_dup / canonical, greedy
+    min-keeper hop)."""
+    cls = persist_tracked(ph.groupBy(hcol).agg(F.min("doc_id").alias("ck")))
+    near = _blocked_near_frame(cls, hcol)
+    return (
+        ph.join(cls, hcol)
+        .join(near, hcol, "left")
+        .select(
+            "doc_id",
+            hcol,
+            F.when(F.col("doc_id") != F.col("ck"), F.lit("exact_dup"))
+            .when(F.col("nk") < F.col("ck"), F.lit("near_dup"))
+            .otherwise(F.lit("canonical"))
+            .alias("status"),
+            F.when(F.col("doc_id") != F.col("ck"), F.col("ck"))
+            .otherwise(F.least("ck", F.coalesce("nk", "ck")))
+            .alias("keeper_id"),
+        )
+    )
 
 
 @register(
@@ -127,7 +214,12 @@ _PH_BLOCKS_EXPR = "array(" + ", ".join(
     "is exact); only the DISTINCT-hash roster enters near-dup blocking: "
     "4x15-bit block equi-join (pigeonhole: Hamming <= 3 guarantees a "
     "shared block) verified by bit_count(xor) <= 8 — the dedup_simhash "
-    "regime on a perceptual fingerprint. Near classes merge by the greedy "
+    "regime on a perceptual fingerprint. SEMANTICS: near_dup means "
+    "'shares a 15-bit block AND Hamming <= 8' — recall is COMPLETE only "
+    "to Hamming <= 3; pairs at 4-8 that differ in all four blocks are "
+    "(by design) not candidates, the standard banded-recall trade "
+    "(engine and oracle mirror the same blocked set, so the differential "
+    "is exact either way). Near classes merge by the greedy "
     "min-keeper hop (round14q convention, not CC), keeping the oracle "
     "closed-form: the doc_id-derived pixel pattern makes the expected "
     "hash computable in SQL, so the REAL byte path is differentially "
@@ -139,42 +231,7 @@ _PH_BLOCKS_EXPR = "array(" + ", ".join(
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     ph = persist_tracked(dhash_bmp(synth_bmp_payloads(docs)))
-    cls = persist_tracked(
-        ph.groupBy("dhash").agg(F.min("doc_id").alias("ck"))
-    )
-    blk = cls.select("dhash", "ck", F.explode(F.expr(_PH_BLOCKS_EXPR)).alias("bb")).select(
-        "dhash", "ck", F.col("bb.b").alias("b"), F.col("bb.v").alias("v")
-    )
-    a = blk.select(F.col("dhash").alias("ha"), F.col("ck").alias("ka"), "b", "v")
-    c = blk.select(F.col("dhash").alias("hb"), F.col("ck").alias("kb"), "b", "v")
-    ver = (
-        a.join(c, ["b", "v"])
-        .filter(F.col("ha") < F.col("hb"))
-        .select("ha", "ka", "hb", "kb")
-        .distinct()
-        .filter(F.expr(f"bit_count(ha ^ hb) <= {PH_MAX_HAMMING}"))
-    )
-    near = (
-        ver.select(F.col("ha").alias("dhash"), F.col("kb").alias("ok"))
-        .unionByName(ver.select(F.col("hb").alias("dhash"), F.col("ka").alias("ok")))
-        .groupBy("dhash")
-        .agg(F.min("ok").alias("nk"))
-    )
-    return (
-        ph.join(cls, "dhash")
-        .join(near, "dhash", "left")
-        .select(
-            "doc_id",
-            "dhash",
-            F.when(F.col("doc_id") != F.col("ck"), F.lit("exact_dup"))
-            .when(F.col("nk") < F.col("ck"), F.lit("near_dup"))
-            .otherwise(F.lit("canonical"))
-            .alias("status"),
-            F.when(F.col("doc_id") != F.col("ck"), F.col("ck"))
-            .otherwise(F.least("ck", F.coalesce("nk", "ck")))
-            .alias("keeper_id"),
-        )
-    )
+    return _hash_disposition(ph, "dhash")
 
 
 # --------------------------------------------------------------------------
@@ -191,6 +248,27 @@ SEM_TAU = NEAR_MIN_COS  # the shared embedding-near threshold (shared.py)
 #: EXACT while lifting parallelism to K x B — the cf_item_similarity_salted
 #: pattern applied to pair generation.
 SEM_PAIR_BUCKETS = 16
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment of every vector to the
+    given (cid, cv) centroid frame — the EXACT kmeans_lloyd_step shape
+    shared by semdedup_cells, round17q's K-sweep and round19q's auto-K
+    variant: bounded centroid frame broadcast, argmin via min(struct(d2,
+    cid)) partial-aggregated map-side (tie-break (d2 asc, cid asc)), no
+    per-vector window."""
+    d2 = (
+        F.expr(_dot("v", "v"))
+        - 2 * F.expr(_dot("v", "cv"))
+        + F.expr(_dot("cv", "cv"))
+    )
+    return (
+        vecs.join(F.broadcast(cents))
+        .select("vec_id", F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cell"))
+    )
 
 
 def _cell_pair_flags(av: DataFrame, tau: float) -> DataFrame:
@@ -225,16 +303,23 @@ def _cell_pair_flags(av: DataFrame, tau: float) -> DataFrame:
         )
     )
 
-_SQL_SEMDEDUP = f"""WITH {_SQL_KM},
-av AS (SELECT a.vec_id, a.cid AS cell, e.v FROM assign a JOIN e USING (vec_id)),
+#: Composable CTE chain after the shared _SQL_KM head (assignment ->
+#: within-cell dup pairs -> greedy min keeper -> per-vector disposition
+#: ``sdisp``) — the single oracle source for semdedup_cells and round19q's
+#: quality-keeper re-pick.
+_SQL_SEMDEDUP_CTES = f"""av AS (SELECT a.vec_id, a.cid AS cell, e.v FROM assign a JOIN e USING (vec_id)),
 pp AS (SELECT x.vec_id AS kb, y.vec_id AS ka FROM av x JOIN av y
        ON x.cell = y.cell AND y.vec_id < x.vec_id
        WHERE list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) *
              sqrt(list_dot_product(y.v, y.v))) >= {SEM_TAU}),
-k AS (SELECT kb AS vec_id, MIN(ka) AS keeper FROM pp GROUP BY kb)
-SELECT av.vec_id, av.cell, COALESCE(k.keeper, av.vec_id) AS keeper_id,
+k AS (SELECT kb AS vec_id, MIN(ka) AS keeper FROM pp GROUP BY kb),
+sdisp AS (SELECT av.vec_id, av.cell, COALESCE(k.keeper, av.vec_id) AS keeper_id,
        k.keeper IS NOT NULL AS is_dup
-FROM av LEFT JOIN k USING (vec_id)"""
+FROM av LEFT JOIN k USING (vec_id))"""
+
+_SQL_SEMDEDUP = f"""WITH {_SQL_KM},
+{_SQL_SEMDEDUP_CTES}
+SELECT vec_id, cell, keeper_id, is_dup FROM sdisp"""
 
 
 @register(
@@ -264,20 +349,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = vecs.filter(F.col("vec_id") < K_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    d2 = (
-        F.expr(_dot("v", "v"))
-        - 2 * F.expr(_dot("v", "cv"))
-        + F.expr(_dot("cv", "cv"))
-    )
-    # K centroids bounded -> broadcast; argmin via min(struct) partial-
-    # aggregates map-side (the kmeans_lloyd_step shape, no per-vector window)
-    asg = (
-        vecs.join(F.broadcast(cents))
-        .select("vec_id", F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("dc"))
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("best"))
-        .select("vec_id", F.col("best.cid").alias("cell"))
-    )
+    asg = _assign_cells(vecs, cents)
     av = persist_tracked(asg.join(vecs, "vec_id").select("vec_id", "cell", "v", "norm"))
     k = (
         _cell_pair_flags(av, SEM_TAU)
@@ -374,7 +446,24 @@ def _verified_pairs(cand: DataFrame, sigs: DataFrame, d_col: str, k_col: str) ->
     tags=("dedup", "minhash_sig", "lsh_band", "merge_upsert", "pipeline"),
 )
 def dedup_state_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids, sigs, bands = _doc_sigs_bands(spark, sf_dir)
+    ids, _sigs, _bands = _doc_sigs_bands(spark, sf_dir)
+    tomb = ids.filter(F.col("doc_id") % TOMB_MOD == 0).select(
+        "doc_id",
+        F.lit("tombstoned").alias("status"),
+        F.col("doc_id").alias("old_keeper"),
+        F.lit(None).cast("long").alias("new_keeper"),
+    )
+    return tomb.unionByName(_orphan_dispositions(spark, sf_dir))
+
+
+def _orphan_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, status, old_keeper, new_keeper) for every ORPHANED delta doc
+    of the tombstone fold — the re-canonicalization frame shared by
+    dedup_state_tombstones (which unions the tombstoned canonicals on top)
+    and round19q's streaming fold (which joins it, keyed by old_keeper,
+    against the tombstone stream). Both callers' _doc_sigs_bands plans are
+    identical, so CacheManager resolves them to one materialization."""
+    _ids, sigs, bands = _doc_sigs_bands(spark, sf_dir)
     state_b = bands.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("doc_s"), "band", "band_sig"
     )
@@ -410,13 +499,7 @@ def dedup_state_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_b", "doc_d")
         .select("doc_d", F.col("keeper").alias("k_o"))
     )
-    tomb = ids.filter(F.col("doc_id") % TOMB_MOD == 0).select(
-        "doc_id",
-        F.lit("tombstoned").alias("status"),
-        F.col("doc_id").alias("old_keeper"),
-        F.lit(None).cast("long").alias("new_keeper"),
-    )
-    reh = (
+    return (
         orph.join(m_o, "doc_d", "left")
         .select(
             F.col("doc_d").alias("doc_id"),
@@ -428,4 +511,3 @@ def dedup_state_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("k_surv", "k_o", "doc_d").alias("new_keeper"),
         )
     )
-    return tomb.unionByName(reh)

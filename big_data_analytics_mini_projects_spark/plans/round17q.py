@@ -35,13 +35,14 @@ from pyspark.sql import functions as F
 from ..caching import persist_tracked
 from ..operators.multimodal import synth_bmp_payloads
 from ..operators.phash import AH_BITS, AH_GRID_H, AH_GRID_W, phashes_bmp
-from ..operators.vector import _dot, prepare_vectors
+from ..operators.vector import prepare_vectors
 from ..sources.tables import load_table, spread
 from .registry import register
 from .round16q import (
     SEM_TAU,
     _SQL_DHASH,
     _SQL_TOMBSTONES,
+    _assign_cells,
     _cell_pair_flags,
     _sql_gray,
 )
@@ -173,21 +174,7 @@ def semdedup_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = vecs.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("cv")
         )
-        d2 = (
-            F.expr(_dot("v", "v"))
-            - 2 * F.expr(_dot("v", "cv"))
-            + F.expr(_dot("cv", "cv"))
-        )
-        asg = (
-            vecs.join(F.broadcast(cents))
-            .select(
-                "vec_id",
-                F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("dc"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min("dc").alias("best"))
-            .select("vec_id", F.col("best.cid").alias("cell"))
-        )
+        asg = _assign_cells(vecs, cents)
         av = asg.join(vecs, "vec_id").select("vec_id", "cell", "v", "norm")
         pp = _cell_pair_flags(av, SEM_TAU)
         rows.append(
