@@ -60,11 +60,15 @@ _SQL_AGRAYS = (
     + ")))"
 )
 
-_SQL_AHASH = f"""WITH g0 AS (SELECT doc_id, {_SQL_AGRAYS} AS g FROM documents),
+#: Composable aHash CTE chain (cell grays -> grid total -> 60-bit hash in
+#: ``ah``) — shared with round19q's blocked near-dup over the aHash roster.
+_SQL_AH_CTES = f"""g0 AS (SELECT doc_id, {_SQL_AGRAYS} AS g FROM documents),
 g1 AS (SELECT doc_id, g, list_sum(g) AS tot FROM g0),
 ah AS (SELECT doc_id, CAST(list_sum(list_transform(range({AH_BITS}), i ->
   CASE WHEN g[i + 1] * {AH_BITS} > tot THEN (1::BIGINT << CAST(i AS INTEGER))
-  ELSE 0::BIGINT END)) AS BIGINT) AS ahash FROM g1),
+  ELSE 0::BIGINT END)) AS BIGINT) AS ahash FROM g1)"""
+
+_SQL_AHASH = f"""WITH {_SQL_AH_CTES},
 dh AS (SELECT doc_id, {_SQL_DHASH} AS dhash FROM documents),
 acls AS (SELECT ahash, MIN(doc_id) AS ak FROM ah GROUP BY ahash),
 dcls AS (SELECT dhash, MIN(doc_id) AS dk FROM dh GROUP BY dhash)

@@ -35,6 +35,10 @@ MAP_IN_PANDAS_OK = {
     "dedup_image_phash",      # real BMP parse + dHash kernel (two Arrow
                               # stages; the dedup itself is pure DataFrame)
     "dedup_image_ahash",      # same parse, dHash+aHash in one kernel
+    "dedup_image_ahash_near", # same one-parse kernel, aHash near-dup leg
+    "dedup_audio_fp",         # real stdlib WAV codec round trip + energy-
+                              # envelope fingerprint kernel
+    "crossmodal_pair_curation",  # composes dedup_image_phash's BMP kernel
 }
 BNLJ_OK = {
     # 1-row corpus-stats / bounded-K broadcast cross joins:
@@ -91,66 +95,65 @@ BNLJ_OK = {
     "semdedup_k_sweep",
     # broadcast 1-row state-size frame onto the 1-row disposition aggregate
     "dedup_state_gc_metrics",
+    # broadcast 1-row corpus-count frame (the occupancy-rule K) + the
+    # derived broadcast-K centroid frame
+    "semdedup_cells_auto",
+    # broadcast-K centroid frame for the cos-to-centroid re-pick
+    "semdedup_keeper_quality",
 }
 
 
-#: Round-10 verification rotation (catalog.py tiers 1-5; round-9 verdict
-#: item 1 — clear the ENTIRE verification debt in one window): the 6 never-
-#: driver-verified round15q entries plus ALL 34 queries last checked <= r5
-#: (tpchx r4, the r5 block, qaq's range_overlap_sessions). round13q x6 +
-#: round14q x2 are FORCED riders (round15q imports round13q at module level
-#: and round14q inside its decoration-time oracle builder); tpch_q2 (r6) and
-#: pmi_word_pairs (r8) ride with their modules. qaq was decorator-reordered
-#: so its one r5 query lands in-window; its other three (r8 greens:
-#: label_drift_chi2, multimodal_png_decode, streaming_session_windows)
-#: spill to positions 51-53 — same-session local differential recorded in
-#: ROUND_QUEUE.md (the round-8 position-51 spill precedent). The round-10
-#: fresh batch (round16q) registers at 54-56 as a forward batch for the
-#: round-11 window. Every name below MUST register inside the driver's
-#: 50-entry window or it gets no fresh verdict this round.
-ROUND10_WINDOW_SET = {
-    # tier 1: forced riders (round15q deps), r9-green re-verified
-    "streaming_mix_shares", "bpe_merge_curve", "repetition_quality_rules",
-    "span_novelty_scan", "doc_length_percentiles_by_source",
-    "dedup_canonical_quality",
+#: Round-11 verification rotation (catalog.py tiers 1-6; round-10 verdict
+#: item 1 — driver-verify the 7 round-10-authored tail queries): round14q
+#: x2 + pipelineq x4 are FORCED riders (round16q imports both at module
+#: level), then round16q/17q/18q (never driver-verified), then the round-11
+#: fresh batch (round19q x6), then the three r8 qaq spills from round 10
+#: (+2 r10 riders of the module), then the r6 cohort oldest-first.
+#: recommendq's 4th entry (cf_item_similarity_salted, r6) is the planned
+#: position-51 spill — same-session local differential recorded in
+#: ROUND_QUEUE.md (the round-8 position-51 spill precedent); relationalx
+#: (r6 x12) queues at 52-63 for round 12. Every name below MUST register
+#: inside the driver's 50-entry window or it gets no fresh verdict this
+#: round.
+ROUND11_WINDOW_SET = {
+    # tier 1: forced riders (round16q deps), r10-green re-verified
     "dedup_state_compaction", "dedup_compaction_curve",
-    # tier 2: round15q x6 — never driver-verified (THE round-10 priority)
-    "dsir_importance_weights", "bpe_fertility_by_source",
-    "streaming_dedup_docs", "multimodal_bmp_resize", "epoch_schedule_budget",
-    "streaming_dedup_state_probe",
-    # tier 3: tpchx x3 — the r4 stale greens
-    "tpch_q6_forecast_revenue", "tpch_q14_promo_revenue",
-    "tpch_q19_discounted_revenue",
-    # tier 4: the r5 block
-    "lang_id_ngram", "token_counts_by_source", "doc_fingerprints",
-    "tfidf_top_terms",
-    "bigram_lm_successors", "scd2_user_event_intervals",
-    "sample_weighted_reservoir", "embedding_int8_quantize",
-    "bloom_filter_join_prune", "embedding_zscore_by_label",
-    "skew_profile_events",
     "dedup_incremental", "kmeans_lloyd_step", "funnel_conversion",
     "bm25_top_terms",
-    "sketch_hll_users", "sketch_cm_heavy_hitters", "sketch_quantile_histogram",
-    "tpch_q2_min_price_supplier", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q10_returned_items", "tpch_q11_important_parts",
-    "tpch_q12_priority_lines", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # tier 5: qaq head (reordered): the r5 range join + its r8 neighbor
-    "range_overlap_sessions", "pmi_word_pairs",
+    # tier 2: round16q/17q/18q x7 — never driver-verified (THE priority)
+    "dedup_image_phash", "semdedup_cells", "dedup_state_tombstones",
+    "dedup_image_ahash", "semdedup_k_sweep", "dedup_state_gc_metrics",
+    "pack_with_salvage",
+    # tier 3: the round-11 fresh batch
+    "semdedup_cells_auto", "semdedup_keeper_quality",
+    "dedup_image_ahash_near", "dedup_audio_fp", "crossmodal_pair_curation",
+    "streaming_tombstone_fold",
+    # tier 4: the r8 qaq spills (+2 r10 module riders)
+    "range_overlap_sessions", "pmi_word_pairs", "label_drift_chi2",
+    "multimodal_png_decode", "streaming_session_windows",
+    # tier 5: the r6 cohort
+    "scan_csv_transactions", "scan_text_reviews", "bucketed_join_orders",
+    "sort_out_nation_stats", "sink_partitioned_pruned",
+    "agg_distinct_users", "welford_global_stats", "sample_hashbucket_stats",
+    "sample_twopass_stats", "events_hourly", "session_windows_users",
+    "sample_stratified",
+    "dedup_embedding_bucketed", "url_normalize_dedup", "domain_doc_cap",
+    "domain_blocklist_filter", "split_train_eval_stats",
+    "length_percentile_filter", "token_budget_sample", "bpe_merge_step",
+    "doc_perplexity_bigram", "dedup_winnow_overlap", "dedup_cross_snapshot",
+    # tier 6: recommendq head (its 4th entry is the planned 51-spill)
+    "cf_item_similarity", "cf_predict_ratings", "cf_predict_ratings_k50",
 }
 
 
-def test_round10_window_positions():
+def test_round11_window_positions():
     """The driver checks exactly the first 50 registration positions
-    (CORRECTNESS_r03..r09 all hold exactly that set); the whole round-10
+    (CORRECTNESS_r03..r10 all hold exactly that set); the whole round-11
     verification rotation must sit inside them."""
     order = list(QUERIES)
-    late = {n for n in ROUND10_WINDOW_SET if order.index(n) >= 50}
+    late = {n for n in ROUND11_WINDOW_SET if order.index(n) >= 50}
     assert not late, f"outside the 50-entry driver window: {sorted(late)}"
-    assert len(ROUND10_WINDOW_SET) == 50
+    assert len(ROUND11_WINDOW_SET) == 50
 
 
 def test_catalog_plan_hygiene(spark, sf_dir):
