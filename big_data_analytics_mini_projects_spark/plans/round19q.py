@@ -5,12 +5,13 @@ completion of a round-10 family.
 
 - ``semdedup_cells_auto`` (verdict item 2) — SemDeDup with the cell count
   derived from the corpus by an OCCUPANCY RULE instead of a fixture pin:
-  K = SEM_K_MIN << #{j : n > SEM_CELL_TARGET * (SEM_K_MIN << j)}, i.e.
-  clamp(n / target_cell) to the next power of two — the exact
-  auto_band_bits comparison-ladder idiom (operators/vector.py:345, the
-  round-6 retune that closed the fixed-width-LSH 100x non-runner), now
-  closing the one documented SemDeDup scale dial: per-cell work stays
-  ~quadratic in SEM_CELL_TARGET while K grows with the corpus.
+  K = SEM_K_MIN << #{j : n > 512 * 4^j} — the smallest power-of-two K
+  with n <= 8*K^2, so K tracks sqrt(n) — via the exact auto_band_bits
+  comparison-ladder idiom (operators/vector.py:345, the round-6 retune
+  that closed the fixed-width-LSH 100x non-runner). Closes the one
+  documented SemDeDup scale dial, and sqrt (not n/target_cell) is the
+  load-bearing choice: assignment O(n*K) and pair scan O(n^2/K) balance
+  at O(n^1.5), the flat-index optimum.
 - ``semdedup_keeper_quality`` (queue theme) — the published SemDeDup
   keeper rule: within each duplicate group, KEEP the example with the
   LOWEST cosine to its cluster centroid (the low-similarity member
@@ -82,21 +83,37 @@ from .round17q import _SQL_AH_CTES
 # semdedup_cells_auto
 # --------------------------------------------------------------------------
 
-#: Occupancy rule: target mean cell size; K doubles while the corpus
-#: exceeds SEM_CELL_TARGET * K. The ladder covers corpora up to
-#: SEM_CELL_TARGET * (SEM_K_MIN << 24) ~ 8.6e9 vectors.
-SEM_CELL_TARGET = 64
+#: COST-BALANCED occupancy rule: K doubles while n > SEM_BALANCE *
+#: SEM_K_MIN^2 * 4^j, i.e. K is the smallest power-of-two multiple of
+#: SEM_K_MIN with n <= SEM_BALANCE * K^2 — so above the floor,
+#: n/8 <= K^2 < n/2 and K tracks sqrt(n) (the FAISS IVF nlist ~ sqrt(n)
+#: convention). WHY sqrt and not the naive n/target_cell: SemDeDup's two
+#: cost terms pull in opposite directions — the centroid ASSIGNMENT is
+#: O(n*K) while the within-cell pair scan is O(n^2/K); a linear
+#: K = n/target keeps cells constant but makes assignment itself the
+#: quadratic term (measured: at 100x the K=4096 assignment is ~2.4e9 dot
+#: products — the oracle alone would run hours). K = Theta(sqrt(n))
+#: balances both at O(n^1.5) TOTAL — the optimum for any flat one-level
+#: cell index; going below n^1.5 needs a hierarchical (two-level)
+#: assignment, which is a different published algorithm, not a tuning of
+#: this one. The ladder covers corpora up to 512 * 4^19 ~ 1.4e14 vectors.
 SEM_K_MIN = K_CENTROIDS  # floor at the fixture K, so tiny corpora reconcile
-SEM_K_DOUBLINGS = 24
+SEM_BALANCE = 8
+SEM_K_DOUBLINGS = 20
 
 _SQL_K_LADDER = " + ".join(
-    f"CASE WHEN COUNT(*) > {SEM_CELL_TARGET * (SEM_K_MIN << j)} THEN 1 ELSE 0 END"
+    f"CASE WHEN COUNT(*) > {SEM_BALANCE * SEM_K_MIN * SEM_K_MIN * (4 ** j)} THEN 1 ELSE 0 END"
     for j in range(SEM_K_DOUBLINGS)
 )
 
-_SQL_SEM_AUTO = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+#: (corpus count -> K -> centroid frame) head shared by the driver-gate and
+#: scale-form oracles; the assignment/pair tails differ only in norm
+#: precomputation (bit-identical arithmetic either way).
+_SQL_AUTO_HEAD = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 st AS (SELECT ({SEM_K_MIN}::BIGINT << CAST({_SQL_K_LADDER} AS INTEGER)) AS kk FROM e),
-c AS (SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id < kk),
+c AS (SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id < kk)"""
+
+_SQL_SEM_AUTO = f"""WITH {_SQL_AUTO_HEAD},
 pairs AS (SELECT e.vec_id, c.cid,
           list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
           + list_dot_product(c.cv, c.cv) AS d2 FROM e, c),
@@ -106,6 +123,31 @@ assign AS (SELECT vec_id, cid, d2 FROM (
 {_SQL_SEMDEDUP_CTES}
 SELECT s.vec_id, s.cell, s.keeper_id, s.is_dup, st.kk AS k FROM sdisp s, st"""
 
+#: Scale form: norms and self-dots hoisted out of the pair terms (one
+#: list_dot_product per assignment pair and per cell pair instead of
+#: three). Same operand values through the same expression trees, so the
+#: result is bit-identical (pinned oracle-vs-oracle at the driver SF by
+#: tests/test_scale_tools.py); at 100x this is the difference between
+#: minutes and hours of oracle wall time.
+_SQL_SEM_AUTO_SCALE = f"""WITH {_SQL_AUTO_HEAD},
+en AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+cn AS MATERIALIZED (SELECT cid, cv, list_dot_product(cv, cv) AS cc FROM c),
+pairs AS (SELECT en.vec_id, cn.cid,
+          en.vv - 2 * list_dot_product(en.v, cn.cv) + cn.cc AS d2 FROM en, cn),
+assign AS (SELECT vec_id, cid, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+  FROM pairs) WHERE rn = 1),
+av AS (SELECT a.vec_id, a.cid AS cell, en.v, sqrt(en.vv) AS nrm
+       FROM assign a JOIN en USING (vec_id)),
+pp AS (SELECT x.vec_id AS kb, y.vec_id AS ka FROM av x JOIN av y
+       ON x.cell = y.cell AND y.vec_id < x.vec_id
+       WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= {SEM_TAU}),
+k AS (SELECT kb AS vec_id, MIN(ka) AS keeper FROM pp GROUP BY kb),
+sdisp AS (SELECT av.vec_id, av.cell, COALESCE(k.keeper, av.vec_id) AS keeper_id,
+       k.keeper IS NOT NULL AS is_dup
+FROM av LEFT JOIN k USING (vec_id))
+SELECT s.vec_id, s.cell, s.keeper_id, s.is_dup, st.kk AS k FROM sdisp s, st"""
+
 
 def _auto_k_col():
     """K as an integer-exact Column over a 1-row count frame ``n`` — the
@@ -113,28 +155,33 @@ def _auto_k_col():
     engines compute the identical K at every corpus size)."""
     w = F.lit(0)
     for j in range(SEM_K_DOUBLINGS):
-        w = w + (F.col("n") > F.lit(SEM_CELL_TARGET * (SEM_K_MIN << j))).cast("int")
+        w = w + (
+            F.col("n") > F.lit(SEM_BALANCE * SEM_K_MIN * SEM_K_MIN * (4 ** j))
+        ).cast("int")
     return w
 
 
 @register(
     "semdedup_cells_auto",
     oracle=_SQL_SEM_AUTO,
+    scale_oracle=_SQL_SEM_AUTO_SCALE,
     doc="SemDeDup with a corpus-derived cell count — the occupancy rule "
     "that closes the one documented scale dial of semdedup_cells: "
-    "K = 8 << #{j : n > 64 * (8 << j)} (mean cell size held near 64 as "
-    "the corpus grows), computed as an integer comparison ladder over a "
+    "K = 8 << #{j : n > 512 * 4^j}, the smallest power-of-two K with "
+    "n <= 8*K^2, computed as an integer comparison ladder over a "
     "broadcast 1-row count frame — the exact auto_band_bits idiom "
     "(operators/vector.py), so engine and oracle derive the identical K "
-    "with no float-edge risk. Assignment, tau and the salted (cell, "
-    "vec_id%16) pair join are byte-shared with semdedup_cells "
-    "(_assign_cells / _cell_pair_flags / the _SQL_SEMDEDUP_CTES oracle "
-    "text); at the fixture corpus size the ladder floors at K=8 and the "
-    "output reconciles with semdedup_cells row-for-row plus the k column "
-    "(tests/test_round19q.py). Scale: per-cell pair work stays "
-    "~SEM_CELL_TARGET^2/2 while K grows with the corpus — total pair "
-    "cost O(n * target), the published method's contract made "
-    "self-tuning.",
+    "with no float-edge risk. K tracks sqrt(n) (the IVF nlist ~ sqrt(n) "
+    "convention) rather than n/target_cell because SemDeDup's two cost "
+    "terms oppose: assignment is O(n*K), the within-cell pair scan is "
+    "O(n^2/K) — sqrt balances both at O(n^1.5) total, the flat-index "
+    "optimum (a linear-K rule makes the assignment itself the quadratic "
+    "term). Assignment, tau and the salted (cell, vec_id%16) pair join "
+    "are byte-shared with semdedup_cells (_assign_cells / "
+    "_cell_pair_flags / the _SQL_SEMDEDUP_CTES oracle text); at the "
+    "fixture corpus size the ladder floors at K=8 and the output "
+    "reconciles with semdedup_cells row-for-row plus the k column "
+    "(tests/test_round19q.py).",
     tags=("dedup", "ann", "pipeline", "semdedup"),
 )
 def semdedup_cells_auto(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,7 +24,7 @@ from big_data_analytics_mini_projects_spark.operators.multimodal import (
 )
 from big_data_analytics_mini_projects_spark.plans.catalog import QUERIES
 from big_data_analytics_mini_projects_spark.plans.round19q import (
-    SEM_CELL_TARGET,
+    SEM_BALANCE,
     SEM_K_DOUBLINGS,
     SEM_K_MIN,
 )
@@ -56,26 +56,27 @@ def test_round19q_differential(spark, duck, sf_dir):
 def _ladder_k(n: int) -> int:
     k = SEM_K_MIN
     for j in range(SEM_K_DOUBLINGS):
-        if n > SEM_CELL_TARGET * (SEM_K_MIN << j):
+        if n > SEM_BALANCE * SEM_K_MIN * SEM_K_MIN * (4 ** j):
             k <<= 1
     return k
 
 
 def test_auto_k_ladder_values():
-    """The occupancy rule clamps to the fixture K on tiny corpora and
-    doubles exactly at the SEM_CELL_TARGET * K thresholds — spot values
-    the engine/oracle ladder must both produce."""
+    """The cost-balanced rule clamps to the fixture K on tiny corpora and
+    doubles exactly at the 512 * 4^j thresholds — spot values the
+    engine/oracle ladder must both produce, plus the balance invariant
+    n/8 <= K^2 < n/2 above the floor (assignment O(nK) and pair scan
+    O(n^2/K) within 4x of each other at every corpus size)."""
     assert _ladder_k(500) == 8          # the sf0.001/sf0.01 corpora
     assert _ladder_k(512) == 8          # boundary: strictly-greater rule
     assert _ladder_k(513) == 16
-    assert _ladder_k(2000) == 32        # the sf0.1 corpus
-    assert _ladder_k(1_000_000) == 8 << 11
-    # mean cell size stays within [SEM_CELL_TARGET/2, SEM_CELL_TARGET]
-    # once the ladder is off its floor
-    for n in (700, 5_000, 80_000, 3_000_000):
+    assert _ladder_k(2000) == 16        # the sf0.1 corpus
+    assert _ladder_k(20_000) == 64      # the 10x rehearsal corpus
+    assert _ladder_k(200_000) == 256    # the 100x rehearsal corpus
+    for n in (700, 5_000, 80_000, 3_000_000, 10**9):
         k = _ladder_k(n)
         if k > SEM_K_MIN:
-            assert SEM_CELL_TARGET / 2 <= n / k <= SEM_CELL_TARGET
+            assert n / SEM_BALANCE <= k * k < n / 2
 
 
 def test_auto_reconciles_with_fixture_at_floor(spark, sf_dir):
