@@ -41,6 +41,12 @@ from pyspark.sql import DataFrame
 AF_WINDOWS = 61
 AF_BITS = AF_WINDOWS - 1
 
+#: Average-hash flavor: 60 windows -> 60 bits (bit = window energy strictly
+#: above the clip mean, compared exactly as E_j * 60 > sum(E) — all integer,
+#: no division; the operators/phash.py aHash inequality on the time axis).
+AF_A_WINDOWS = 60
+AF_A_BITS = AF_A_WINDOWS
+
 
 def afp_wav(df: DataFrame, n_windows: int = AF_WINDOWS) -> DataFrame:
     """(doc_id, payload) -> (doc_id, afp): 60-bit energy-envelope difference
@@ -73,3 +79,58 @@ def afp_wav(df: DataFrame, n_windows: int = AF_WINDOWS) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(kernel, "doc_id long, afp long")
+
+
+def afps_wav(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, afp, aafp): BOTH perceptual audio
+    fingerprints from ONE codec parse — the energy-envelope difference
+    hash of ``afp_wav`` (61 windows, consecutive-energy signs) plus the
+    60-bit average hash (60 windows, bit = window energy strictly above
+    the clip mean via the exact integer inequality E_j * 60 > sum(E)).
+    Two independent fingerprint families over the same clip let downstream
+    dedup audit their agreement — the audio twin of
+    operators/phash.phashes_bmp."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            dfs, afs = [], []
+            for p in pdf["payload"]:
+                with wave.open(io.BytesIO(bytes(p)), "rb") as r:
+                    n = r.getnframes()
+                    assert r.getnchannels() == 1 and r.getsampwidth() == 2
+                    raw = r.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                de = [
+                    sum(abs(s) for s in samples[j * n // AF_WINDOWS : (j + 1) * n // AF_WINDOWS])
+                    for j in range(AF_WINDOWS)
+                ]
+                dfp = 0
+                for j in range(AF_WINDOWS - 1):
+                    if de[j + 1] > de[j]:
+                        dfp |= 1 << j
+                ae = [
+                    sum(abs(s) for s in samples[j * n // AF_A_WINDOWS : (j + 1) * n // AF_A_WINDOWS])
+                    for j in range(AF_A_WINDOWS)
+                ]
+                tot = sum(ae)
+                afp = 0
+                for j, e in enumerate(ae):
+                    if e * AF_A_BITS > tot:
+                        afp |= 1 << j
+                dfs.append(dfp)
+                afs.append(afp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "afp": pd.array(dfs, dtype="int64"),
+                    "aafp": pd.array(afs, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, "doc_id long, afp long, aafp long"
+    )

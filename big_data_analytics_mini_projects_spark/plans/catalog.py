@@ -123,3 +123,6 @@ from . import textanalysisq  # noqa: F401
 from . import corpusq  # noqa: F401
 from . import sketchq  # noqa: F401
 from . import tpchfull  # noqa: F401
+
+# -- round-11 fresh batch part 2 (forward — ROUND-12 window) --
+from . import round20q  # noqa: F401

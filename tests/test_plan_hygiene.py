@@ -39,6 +39,7 @@ MAP_IN_PANDAS_OK = {
     "dedup_audio_fp",         # real stdlib WAV codec round trip + energy-
                               # envelope fingerprint kernel
     "crossmodal_pair_curation",  # composes dedup_image_phash's BMP kernel
+    "dedup_audio_ahash",      # same one-parse kernel, both audio hashes
 }
 BNLJ_OK = {
     # 1-row corpus-stats / bounded-K broadcast cross joins:
@@ -100,6 +101,10 @@ BNLJ_OK = {
     "semdedup_cells_auto",
     # broadcast-K centroid frame for the cos-to-centroid re-pick
     "semdedup_keeper_quality",
+    # three broadcast-bounded centroid frames (8 coarse, 64 fine)
+    "semdedup_two_level",
+    # broadcast 1-row state-before frame onto the 3-row curve
+    "dedup_tombstone_curve",
 }
 
 
