@@ -78,21 +78,27 @@ def minhash_signatures(
     if row_fraction is not None:
         m, r = row_fraction
         t = t.filter(_h64_seeded(F.col(token_col), F.lit("rowsel")) % r < m)
+    # The num_hashes aggregates are built as ONE parsed SQL expression each
+    # rather than nested Column ops: the Column form costs ~8 py4j round
+    # trips per seed (~0.7 s of driver time per call at 32 seeds, measured),
+    # paid by every consumer on every bench repeat. Same functions, same
+    # operand order -> identical values and identical physical aggregation.
     mins = t.groupBy(key).agg(
         *[
-            F.min(_h64_seeded(F.col(token_col), F.lit(s))).alias(f"_mh{s}")
+            F.expr(
+                f"min(cast(conv(substring(md5(concat(cast({s} as string), "
+                f"':', cast({token_col} as string))), 1, 15), 16, 10) "
+                f"as bigint))"
+            ).alias(f"_mh{s}")
             for s in range(num_hashes)
         ]
     )
-    rows = F.array(
-        *[
-            F.struct(F.lit(s).alias("seed"), F.col(f"_mh{s}").alias("mh"))
-            for s in range(num_hashes)
-        ]
+    structs = ", ".join(
+        f"named_struct('seed', {s}, 'mh', _mh{s})" for s in range(num_hashes)
     )
-    return mins.select(key, F.explode(rows).alias("_x")).select(
-        key, F.col("_x.seed").alias("seed"), F.col("_x.mh").alias("mh")
-    )
+    return mins.select(
+        key, F.expr(f"explode(array({structs}))").alias("_x")
+    ).select(key, F.col("_x.seed").alias("seed"), F.col("_x.mh").alias("mh"))
 
 
 def minhash_jaccard(
@@ -261,9 +267,10 @@ def connected_components(
 
     Scale design:
     - each round is ONE shuffle (join on dst + min-aggregate on src);
-    - ``localCheckpoint(eager=True)`` truncates lineage every round —
-      without it the plan doubles per iteration and the job dies on
-      planning long before data size matters;
+    - a LAZY ``localCheckpoint`` truncates lineage every round — without it
+      the plan doubles per iteration and the job dies on planning long
+      before data size matters; the convergence detector's collect
+      materializes it, so each round is exactly one job;
     - convergence is detected via Σlabels (labels only decrease, so the sum
       strictly decreases until fixpoint) — one cheap agg instead of a
       change-count join. The detector needs one extra NO-CHANGE round to
@@ -290,11 +297,23 @@ def connected_components(
         .distinct()
         .repartition(F.col("dst"))
     )
+    # Label init WITH the first propagation round baked in: label0(u) =
+    # min(u, N(u)) is exactly what round 1 of plain identity-init propagation
+    # produces, and it falls out of the SAME exchange the old
+    # select(src).distinct() init paid (groupBy(src) vs distinct-on-src) —
+    # one full join round removed for free (guide §2.4: two operations keyed
+    # the same way share one exchange). Final labels are unchanged: labels
+    # only decrease toward the component minimum from any init >= it.
+    #
+    # Each round's localCheckpoint is LAZY and is materialized by the
+    # convergence detector's own collect — one job per round where the eager
+    # checkpoint + separate Σlabels collect paid two (measured: the CC-family
+    # queries spent ~45% of their build time on the extra per-round job).
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
+        .localCheckpoint(eager=False)
     )
     prev = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
@@ -310,7 +329,7 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         total = labels.agg(F.sum("label")).collect()[0][0]
         if total == prev:
@@ -362,7 +381,10 @@ def connected_components_twophase(
         .unionAll(raw.select(F.col("v").alias("node")))
         .distinct()
     )
-    edges = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    # Lazy checkpoint: materialized by the first round's own job (the
+    # truncation-after-materialize semantics are identical; localCheckpoint
+    # persists blocks, so the round's two reads of `edges` share one compute).
+    edges = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
     prev = None
     for _ in range(max_rounds):
         # -- large-star: both directions, group by u, attach larger nbrs to min
@@ -392,7 +414,9 @@ def connected_components_twophase(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the convergence signature's collect below materializes
+            # the checkpoint in the same job (1 job/round instead of 2)
+            .localCheckpoint(eager=False)
         )
         edges = ss
         sig = edges.agg(

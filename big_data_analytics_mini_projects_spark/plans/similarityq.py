@@ -249,7 +249,15 @@ scored AS (SELECT ka, kb,
 
 
 def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _SQL_SCORED: (ka, kb, est) near-dup pairs."""
+    """Spark twin of _SQL_SCORED: (ka, kb, est) near-dup pairs.
+
+    The OUTPUT is persisted, not just the signatures: seven queries across
+    the similarityq/round12q families consume this frame (dedup_minhash_lsh,
+    both CC variants, the histogram/canonical tails, threshold sensitivity),
+    and each used to replay the candidate join + verify aggregation from the
+    cached sigs — ~1.5 s per build at sf0.1. The verified pair set is tiny
+    (|near-dup pairs| rows), so materializing it once per family costs
+    nothing and every consumer's plan starts at an InMemoryRelation leaf."""
     sigs = persist_tracked(minhash_signatures(
         _shingles(spark, sf_dir, distinct=False),
         token_col="shingle",
@@ -258,7 +266,7 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidates(lsh_bands(sigs, ROWS_PER_BAND))
     sa = sigs.select(F.col("doc_id").alias("ka"), "seed", F.col("mh").alias("mha"))
     sb = sigs.select(F.col("doc_id").alias("kb"), "seed", F.col("mh").alias("mhb"))
-    return (
+    return persist_tracked(
         cand.join(sa, "ka")
         .join(sb, ["kb", "seed"])
         .groupBy("ka", "kb")
