@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
+#: Family-scoped memo of lazily localCheckpoint-ed frames (plan-truncation
+#: leaves, guide §3.3). Keyed by a caller-chosen name + sf_dir; cleared with
+#: the persists at every family boundary, so its lifetime is identical to the
+#: tracked persist cache it is built from.
+_CHECKPOINTED: dict[tuple[str, str], DataFrame] = {}
+
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """``df.persist()`` + registration for deferred cleanup."""
@@ -31,8 +37,39 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def checkpoint_shared(name: str, sf_dir: str, df) -> DataFrame:
+    """One lazy ``localCheckpoint`` per (name, sf_dir) per family visit.
+
+    A localCheckpoint turns a deep analyzed tree into a leaf scan — the fix
+    for curve/loop queries whose every Dataset op re-analyzes hundreds of
+    operators (guide §3.3). But a FRESH checkpoint per build is a new RDD
+    leaf, so downstream plans stop matching Spark's cache across bench
+    repeats and sibling queries (measured: dedup_compaction_curve's exec
+    went 0.75 s -> 2.4 s when each repeat checkpointed anew). Memoizing the
+    checkpointed frame restores plan identity: every consumer in the family
+    sees the SAME leaf, so derived persists keep hitting. The memo holds no
+    results beyond what the checkpoint blocks (and the tracked persists it
+    was computed from) already hold, and is dropped at the same family
+    boundary.
+
+    ``df`` may be a DataFrame or a zero-arg callable returning one: the
+    callable form defers CONSTRUCTION (python expression building + eager
+    JVM analysis) on memo hits — for frames built from hundreds of parsed
+    expressions that is most of the per-build cost."""
+    key = (name, sf_dir)
+    got = _CHECKPOINTED.get(key)
+    if got is None:
+        if callable(df):
+            df = df()
+        got = df.localCheckpoint(eager=False)
+        _CHECKPOINTED[key] = got
+    return got
+
+
 def release_persisted() -> None:
-    """Unpersist (non-blocking) every tracked frame. Called by the registry
-    at family boundaries and safe to call at any time."""
+    """Unpersist (non-blocking) every tracked frame and drop the checkpoint
+    memo. Called by the registry at family boundaries and safe to call at
+    any time."""
     while _TRACKED:
         _TRACKED.pop().unpersist()
+    _CHECKPOINTED.clear()

@@ -41,6 +41,12 @@ def _as_double_vec(df: DataFrame, emb_col: str = "embedding", out: str = "v") ->
 
 
 def _dot(a: str, b: str) -> str:
+    # Measured note (optimization round 11): an unrolled 64-term
+    # `a[0]*b[0] + ...` sum was tried and is ~3x SLOWER than this
+    # higher-order-function fold (the giant expression drops out of
+    # whole-stage codegen); the HOF stays. The cheap lever is evaluating
+    # FEWER dots — hoist self-dots/norms out of pair joins (see
+    # round16q._assign_cells).
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 

@@ -19,7 +19,7 @@ from ..operators.relational import (
     topk,
     topk_per_group,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 from .shared import (  # noqa: F401  (re-export; helpers live in shared.py so importing them has no registration side effects)
@@ -228,7 +228,11 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        # spread AFTER the filter (pushdown intact): the local single-split
+        # scan otherwise runs all eight decimal partial aggregates on one
+        # core (guide §2.5 input skew; measured 1.38 -> 0.81 s at sf0.1).
+        # spread() is a no-op when the scan already has enough splits.
+        spread(li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),

@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 #: Reference hyperparameters: gamma from Part_2.pdf p2; eta/iters chosen so the
@@ -92,7 +92,10 @@ _SQL_WIDE = "CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
     tags=("momentum_gd", "agg_combiner", "corr"),
 )
 def momentum_gd_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: the sufficient-statistic pass (five decimal(38,4) sums) is the
+    # whole data cost of this query and ran single-threaded on the local
+    # one-split scan (guide §2.5; measured ~1.9 -> ~0.5 s at sf0.1).
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
 
     def wide(col):

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.text import round_stable, sql_round_stable
 from ..operators.aggregates import dsum, sql_dsum
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 #: NULL-key sentinel for subtotal rows: makes grouping-set output sortable
@@ -344,7 +344,10 @@ _MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     tags=("unpivot", "agg_sum_by_key"),
 )
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: the Expand (unpivot) multiplies rows 4x and feeds the partial
+    # aggregate; on the local single-split scan that whole pipeline ran on
+    # one core (guide §2.5). No-op when the scan has enough splits.
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     long = li.unpivot("l_returnflag", _MEASURES, "measure", "val")
     return long.groupBy("l_returnflag", "measure").agg(
         F.count(F.lit(1)).alias("n"), dsum("val", 4).alias("total")

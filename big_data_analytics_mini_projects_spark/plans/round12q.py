@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..caching import persist_tracked
+from ..caching import checkpoint_shared, persist_tracked
 from ..functions.text import round_stable, sql_round_stable
 from ..operators.aggregates import dsum, sql_dsum
 from ..operators.similarity import connected_components, minhash_signatures
@@ -536,8 +536,6 @@ def _sql_banded_width_oracle() -> str:
     tags=("embedding", "dedup", "lsh_band", "quality"),
 )
 def banded_width_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.vector import banded_bucket_exprs
-
     vecs = persist_tracked(
         embedding_vectors(spark, sf_dir).filter(
             F.col("vec_id") < EMB_EVAL_LIMIT
@@ -560,16 +558,48 @@ def banded_width_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tc = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
+    # The 4 widths' buckets all pack sign bits of the SAME deterministic
+    # plane universe (plane j of hyperplane_signs(n) is index-stable in n):
+    # width w, band b uses planes [b*w, (b+1)*w). Evaluate each plane's
+    # sign ONCE per vector into a shared leaf, then every width's bucket is
+    # a tiny integer expression over the sign columns — identical bits,
+    # identical buckets, but 32 literal-array dot expressions analyzed and
+    # executed once instead of 80 re-derived per width (the build spent
+    # ~1.7 s of pure analysis on the four giant variants before this).
+    from ..operators.vector import hyperplane_signs as _hp_signs
+
+    n_planes = BW_BANDS * max(BW_SWEEP)
+
+    def _build_signs():
+        sign_cols = []
+        for j, plane in enumerate(_hp_signs(n_planes)):
+            lits = ", ".join(f"{x:.1f}D" for x in plane)
+            sign_cols.append(
+                (F.expr(_dot_expr("v", f"array({lits})")) > 0)
+                .cast("long")
+                .alias(f"s{j}")
+            )
+        return vecs.select("vec_id", *sign_cols)
+
+    # thunk form: repeats skip re-parsing the 32 literal-array dot exprs
+    signs = checkpoint_shared("r12.bw_signs", sf_dir, _build_signs)
+
     rows = None
     for w in BW_SWEEP:
-        exprs = banded_bucket_exprs(BW_BANDS, w)
+        exprs = []
+        for b in range(BW_BANDS):
+            bits = None
+            for i in range(w):
+                bit = F.col(f"s{b * w + i}") * (1 << i)
+                bits = bit if bits is None else bits + bit
+            exprs.append(bits)
         bb = F.array(
             *[
                 F.struct(F.lit(i).alias("band"), e.alias("bucket"))
                 for i, e in enumerate(exprs)
             ]
         )
-        vb = vecs.select("vec_id", F.explode(bb).alias("bb")).select(
+        vb = signs.select("vec_id", F.explode(bb).alias("bb")).select(
             "vec_id",
             F.col("bb.band").alias("band"),
             F.col("bb.bucket").alias("bucket"),

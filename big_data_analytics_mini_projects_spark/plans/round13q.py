@@ -227,6 +227,11 @@ def bpe_merge_chain(
             F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         ).alias("pos", "sym"),
     ).select("word", "freq", F.col("pos").cast("long").alias("pos"), "sym")
+    # Measured note (optimization round 11): replacing these per-iteration
+    # persists with checkpoint_shared leaves was TRIED and ran ~15% slower —
+    # the checkpoint leaf drops the word-hash partitioning the persisted
+    # window output carries, so every iteration re-exchanges by word. The
+    # persists stay.
     syms = persist_tracked(syms)
 
     w_word = Window.partitionBy("word").orderBy("pos")

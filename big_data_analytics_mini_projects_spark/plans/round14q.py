@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
+from ..caching import checkpoint_shared, persist_tracked
 from ..operators.similarity import lsh_bands, minhash_signatures, ngram_shingles
 from ..sources.tables import load_table, spread
 from .registry import register
@@ -277,6 +277,14 @@ def _sql_compaction_curve() -> str:
 )
 def dedup_compaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, sigs, bands = _doc_sigs_bands(spark, sf_dir)
+    # Plan truncation (guide §3.3): each of the SC_STEPS cohorts references
+    # bands 3x and sigs 2x, and every Dataset op re-analyzes the accumulated
+    # tree (~2.2 s of pure planning per build before this). checkpoint_shared
+    # materializes from the family-shared persisted cache AND hands every
+    # repeat/sibling the same leaf object, so downstream persists keep
+    # matching across builds.
+    sigs = checkpoint_shared("r14.sigs", sf_dir, sigs)
+    bands = checkpoint_shared("r14.bands", sf_dir, bands)
     state: DataFrame | None = None
     step_rows: list[DataFrame] = []
     for t in range(SC_STEPS):
@@ -313,14 +321,22 @@ def dedup_compaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("doc_b", "doc_id")
             .select("doc_id", F.col("keeper").alias("k_d"))
         )
-        statuses = persist_tracked(
-            with_state.join(m_d, "doc_id", "left").select(
-                "doc_id",
-                F.when(F.col("k_s").isNotNull(), F.lit("dup_of_state"))
-                .when(F.col("k_d").isNotNull(), F.lit("dup_in_delta"))
-                .otherwise(F.lit("new_canonical"))
-                .alias("status"),
-            )
+        # checkpoint_shared (not just persist): statuses feeds the canon
+        # filter, the growing state union AND the per-step count row — a
+        # leaf keeps each later step's analyzed tree flat instead of
+        # re-embedding every earlier step's full derivation.
+        statuses = checkpoint_shared(
+            f"r14.cc_statuses{t}",
+            sf_dir,
+            persist_tracked(
+                with_state.join(m_d, "doc_id", "left").select(
+                    "doc_id",
+                    F.when(F.col("k_s").isNotNull(), F.lit("dup_of_state"))
+                    .when(F.col("k_d").isNotNull(), F.lit("dup_in_delta"))
+                    .otherwise(F.lit("new_canonical"))
+                    .alias("status"),
+                )
+            ),
         )
         canon = statuses.filter(F.col("status") == "new_canonical").select("doc_id")
         state = canon if state is None else state.unionByName(canon)

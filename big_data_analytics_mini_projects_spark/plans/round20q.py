@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
+from ..caching import checkpoint_shared, persist_tracked
 from ..operators.audiofp import AF_A_BITS, AF_A_WINDOWS, afps_wav
 from ..operators.multimodal import synth_wav_payloads
 from ..operators.vector import _dot, prepare_vectors
@@ -132,14 +132,14 @@ def semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("fid"), F.col("cell").alias("coarse"))
     vcrs = _assign_cells(vecs, cc).withColumnRenamed("cell", "coarse")
     fcx = fc.join(f2c, "fid")  # (fid, fv, coarse) — 64 rows, broadcast
-    d2 = (
-        F.expr(_dot("v", "v"))
-        - 2 * F.expr(_dot("v", "fv"))
-        + F.expr(_dot("fv", "fv"))
-    )
+    # Self-dots hoisted out of the per-(vector, fine-centroid) term — one
+    # fold per row on each side instead of three per pair; identical
+    # `vv - 2*d + cc` tree, bit-identical d2 (the _assign_cells hoisting).
+    d2 = F.col("_vv") - 2 * F.expr(_dot("v", "fv")) + F.col("_cc")
     two = (
-        vecs.join(vcrs, "vec_id")
-        .join(F.broadcast(fcx), "coarse")
+        vecs.withColumn("_vv", F.expr(_dot("v", "v")))
+        .join(vcrs, "vec_id")
+        .join(F.broadcast(fcx.withColumn("_cc", F.expr(_dot("fv", "fv")))), "coarse")
         .select("vec_id", F.struct(d2.alias("d2"), F.col("fid").alias("fid")).alias("df"))
         .groupBy("vec_id")
         .agg(F.min("df").alias("best"))
@@ -310,6 +310,16 @@ def _sql_tombstone_curve() -> str:
 )
 def dedup_tombstone_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, sigs, bands = _doc_sigs_bands(spark, sf_dir)
+    # Plan truncation (guide §3.3): the 3-step curve below references bands
+    # 2x per step and sigs 1x per step, and every Dataset op re-analyzes the
+    # whole accumulated tree — the un-truncated query spent ~3.7 s of pure
+    # driver planning per build (300-Exchange explain, 1 Spark job).
+    # checkpoint_shared turns both into leaf scans materialized FROM the
+    # family-shared persisted cache and keeps the SAME leaf across repeats,
+    # so downstream persists keep matching. Values are the materialized
+    # rows — bit-identical.
+    sigs = checkpoint_shared("r14.sigs", sf_dir, sigs)
+    bands = checkpoint_shared("r14.bands", sf_dir, bands)
     state_b = bands.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("doc_s"), "band", "band_sig"
     )
@@ -324,7 +334,10 @@ def dedup_tombstone_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tstep = (F.col("doc_s") % TOMB_MOD == 0).cast("int") * (
         F.expr(f"(doc_s div {TOMB_MOD}) % {TC_STEPS}") + 1
     )  # 0 = never tombstoned; t+1 = tombstoned at batch t
-    vps = vp.select("doc_d", "doc_s", tstep.alias("ts"))
+    # Leaf-ify the pair frame too: 6 references across the 3 steps.
+    vps = checkpoint_shared(
+        "r20.tc_vps", sf_dir, vp.select("doc_d", "doc_s", tstep.alias("ts"))
+    )
     step_rows: list[DataFrame] = []
     for t in range(TC_STEPS):
         ko = (

@@ -87,7 +87,12 @@ def ratings_deduped(
     surrogate (see SQL_RATINGS_DEDUP_LAST_SEEN). The two modes genuinely
     disagree wherever a later-keyed row has an earlier ship date.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..sources.tables import spread
+
+    # spread: orders broadcasts, so scan + join + the md5 rating hash all ran
+    # in the single local scan task before the dedup window's exchange
+    # (guide §2.5 input skew). No-op when the scan has enough splits.
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     raw = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         F.col("o_custkey").alias("user_id"),
@@ -103,8 +108,16 @@ def ratings_deduped(
         order = [F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")]
     else:
         raise ValueError(f"unknown dedupe mode: {mode!r}")
-    return last_per_key(raw, ["user_id", "item"], order).select(
-        "user_id", "item", "rating"
+    # Persisted per mode: three core.py queries and the CF family all start
+    # from this frame, and each used to replay the join + dedup window per
+    # build. |user,item| rows x 3 narrow columns — cheap to hold; released
+    # at the family boundary like every tracked persist.
+    from ..caching import persist_tracked
+
+    return persist_tracked(
+        last_per_key(raw, ["user_id", "item"], order).select(
+            "user_id", "item", "rating"
+        )
     )
 
 

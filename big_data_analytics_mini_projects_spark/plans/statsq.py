@@ -380,7 +380,10 @@ def _sql_wide_dsum(expr: str, scale: int = 4) -> str:
     tags=("corr", "agg_mean_std", "agg_combiner"),
 )
 def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: five decimal(38,4) partial sums over the whole fact table ran
+    # on one core on the local single-split scan (guide §2.5 input skew;
+    # measured 1.65 -> 0.79 s at sf0.1). No-op at real split counts.
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

