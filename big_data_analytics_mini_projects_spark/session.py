@@ -72,6 +72,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # ContextCleaner frees persisted/checkpointed blocks only after a JVM
+        # GC makes their references weakly reachable; the default periodic-GC
+        # interval (30min) means a multi-hundred-query suite accumulates every
+        # released frame's blocks for its whole run (small heaps never GC
+        # organically here). 2min bounds the accumulation; on a real cluster
+        # the same setting keeps long-lived drivers from pinning dead blocks.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
