@@ -202,25 +202,35 @@ def simhash_values(
         .dropDuplicates([key, token_col])
         .withColumn("h", _h64_seeded(F.col(token_col), F.lit("sh")))
     )
-    # integer div, not / : h spans 60 bits, past double's 2^53 exactness
+    # integer div, not / : h spans 60 bits, past double's 2^53 exactness.
+    # Every column below is ONE parsed SQL expression instead of nested
+    # Column ops (the minhash_signatures treatment): the Column form cost
+    # ~2.1 s of py4j round trips + eager analysis per build for the 60
+    # conditional sums plus the 5 sixty-term bit-recombination trees —
+    # pure driver time, paid on every bench repeat. Same operands, same
+    # left-associative order; all values are exact integers.
     counts = t.groupBy(key).agg(
         *[
-            F.sum(F.expr(f"((h div {p2}) % 2) * 2 - 1")).alias(f"c{p}")
+            F.expr(f"sum(((h div {p2}) % 2) * 2 - 1) AS c{p}")
             for p, p2 in BIT_POWERS
         ]
     )
-    def bit(p: int):
-        return (F.col(f"c{p}") > 0).cast("long")
 
-    simhash = sum((bit(p) * F.lit(p2) for p, p2 in BIT_POWERS[1:]), bit(0))
+    def bit(p: int) -> str:
+        return f"cast((c{p} > 0) as bigint)"
+
+    simhash = " + ".join(
+        [bit(0)] + [f"{bit(p)} * {p2}" for p, p2 in BIT_POWERS[1:]]
+    )
     blocks = [
-        sum(
-            (bit(p) * F.lit(1 << (p % 15)) for p in range(blk * 15 + 1, blk * 15 + 15)),
-            bit(blk * 15) * F.lit(1 << 0),
-        ).alias(f"b{blk}")
+        " + ".join(
+            [f"{bit(blk * 15)} * 1"]
+            + [f"{bit(p)} * {1 << (p % 15)}" for p in range(blk * 15 + 1, blk * 15 + 15)]
+        )
+        + f" AS b{blk}"
         for blk in range(4)
     ]
-    return counts.select(key, simhash.alias("simhash"), *blocks)
+    return counts.selectExpr(key, f"{simhash} AS simhash", *blocks)
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 8, key: str = "doc_id") -> DataFrame:
