@@ -48,20 +48,35 @@ def _doc_sigs_bands(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(doc ids, minhash sigs, LSH bands) over the documents corpus.
 
-    Both queries call this with an identical plan, so Spark's CacheManager
-    resolves the two persists to ONE materialization (caching.py contract);
-    sigs/bands are computed once per family visit."""
+    sigs/bands are checkpoint_shared LEAVES (one per family visit,
+    materialized from the family-shared persisted cache): every caller in
+    the round14q/16q/20q state families references bands up to 3x and sigs
+    2x per step, and each Dataset op re-analyzes the whole accumulated tree
+    — plain persists shared the COMPUTE but every build still paid the
+    full-tree Catalyst analysis (~1.1 s/build for dedup_state_compaction,
+    measured round 12). The thunk form skips signature/band construction
+    entirely on memo hits; the memo guarantees every sibling and repeat
+    plans against the SAME leaf, so downstream persists keep matching."""
     docs = spread(
         load_table(spark, sf_dir, "documents").select(
             "doc_id",
             F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
         )
     )
-    shingles = ngram_shingles(docs, n=3, distinct=False)
-    sigs = persist_tracked(
-        minhash_signatures(shingles, token_col="shingle", num_hashes=SC_HASHES)
+    sigs = checkpoint_shared(
+        "r14.sigs",
+        sf_dir,
+        lambda: persist_tracked(
+            minhash_signatures(
+                ngram_shingles(docs, n=3, distinct=False),
+                token_col="shingle",
+                num_hashes=SC_HASHES,
+            )
+        ),
     )
-    bands = persist_tracked(lsh_bands(sigs, SC_ROWS))
+    bands = checkpoint_shared(
+        "r14.bands", sf_dir, lambda: persist_tracked(lsh_bands(sigs, SC_ROWS))
+    )
     return docs.select("doc_id"), sigs, bands
 
 
@@ -276,15 +291,11 @@ def _sql_compaction_curve() -> str:
     tags=("dedup", "minhash_sig", "lsh_band", "merge_upsert", "pipeline"),
 )
 def dedup_compaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sigs/bands arrive as checkpoint_shared leaves (see _doc_sigs_bands):
+    # each of the SC_STEPS cohorts references bands 3x and sigs 2x, and every
+    # Dataset op re-analyzes the accumulated tree (~2.2 s of pure planning
+    # per build before the truncation).
     ids, sigs, bands = _doc_sigs_bands(spark, sf_dir)
-    # Plan truncation (guide §3.3): each of the SC_STEPS cohorts references
-    # bands 3x and sigs 2x, and every Dataset op re-analyzes the accumulated
-    # tree (~2.2 s of pure planning per build before this). checkpoint_shared
-    # materializes from the family-shared persisted cache AND hands every
-    # repeat/sibling the same leaf object, so downstream persists keep
-    # matching across builds.
-    sigs = checkpoint_shared("r14.sigs", sf_dir, sigs)
-    bands = checkpoint_shared("r14.bands", sf_dir, bands)
     state: DataFrame | None = None
     step_rows: list[DataFrame] = []
     for t in range(SC_STEPS):
@@ -324,12 +335,14 @@ def dedup_compaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint_shared (not just persist): statuses feeds the canon
         # filter, the growing state union AND the per-step count row — a
         # leaf keeps each later step's analyzed tree flat instead of
-        # re-embedding every earlier step's full derivation.
+        # re-embedding every earlier step's full derivation. Thunk form so
+        # memo hits skip BOTH the construction and the duplicate persist
+        # registration (round-11 ADVICE).
         statuses = checkpoint_shared(
             f"r14.cc_statuses{t}",
             sf_dir,
-            persist_tracked(
-                with_state.join(m_d, "doc_id", "left").select(
+            lambda ws=with_state, md=m_d: persist_tracked(
+                ws.join(md, "doc_id", "left").select(
                     "doc_id",
                     F.when(F.col("k_s").isNotNull(), F.lit("dup_of_state"))
                     .when(F.col("k_d").isNotNull(), F.lit("dup_in_delta"))

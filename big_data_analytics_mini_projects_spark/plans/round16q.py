@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import checkpoint_shared, persist_tracked
+from ..caching import persist_tracked
 from ..operators.multimodal import synth_bmp_payloads
 from ..operators.phash import PH_BLOCK_BITS, PH_GRID_H, PH_GRID_W, PH_N_BLOCKS, dhash_bmp
 from ..operators.vector import _dot, prepare_vectors
@@ -470,13 +470,11 @@ def _orphan_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the tombstone stream). Both callers' _doc_sigs_bands plans are
     identical, so CacheManager resolves them to one materialization.
 
-    sigs/bands enter as checkpoint_shared leaves (same keys as the round14q
-    curves): the fold references bands 3x and sigs 2x, and the leaf keeps
-    every consumer's analyzed tree flat while the memo preserves plan
-    identity across repeats/siblings."""
+    sigs/bands enter as checkpoint_shared leaves (built inside
+    _doc_sigs_bands, same keys as the round14q curves): the fold references
+    bands 3x and sigs 2x, and the leaf keeps every consumer's analyzed tree
+    flat while the memo preserves plan identity across repeats/siblings."""
     _ids, sigs, bands = _doc_sigs_bands(spark, sf_dir)
-    sigs = checkpoint_shared("r14.sigs", sf_dir, sigs)
-    bands = checkpoint_shared("r14.bands", sf_dir, bands)
     state_b = bands.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("doc_s"), "band", "band_sig"
     )

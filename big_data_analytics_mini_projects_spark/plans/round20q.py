@@ -309,35 +309,36 @@ def _sql_tombstone_curve() -> str:
     tags=("dedup", "minhash_sig", "lsh_band", "merge_upsert", "pipeline"),
 )
 def dedup_tombstone_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan truncation (guide §3.3): sigs/bands arrive as checkpoint_shared
+    # leaves (built inside _doc_sigs_bands) — the 3-step curve below
+    # references bands 2x per step and sigs 1x per step, and every Dataset
+    # op re-analyzes the whole accumulated tree; the un-truncated query
+    # spent ~3.7 s of pure driver planning per build (300-Exchange explain,
+    # 1 Spark job). Values are the materialized rows — bit-identical.
     ids, sigs, bands = _doc_sigs_bands(spark, sf_dir)
-    # Plan truncation (guide §3.3): the 3-step curve below references bands
-    # 2x per step and sigs 1x per step, and every Dataset op re-analyzes the
-    # whole accumulated tree — the un-truncated query spent ~3.7 s of pure
-    # driver planning per build (300-Exchange explain, 1 Spark job).
-    # checkpoint_shared turns both into leaf scans materialized FROM the
-    # family-shared persisted cache and keeps the SAME leaf across repeats,
-    # so downstream persists keep matching. Values are the materialized
-    # rows — bit-identical.
-    sigs = checkpoint_shared("r14.sigs", sf_dir, sigs)
-    bands = checkpoint_shared("r14.bands", sf_dir, bands)
-    state_b = bands.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("doc_s"), "band", "band_sig"
-    )
-    delta_b = bands.filter(F.col("doc_id") % 2 == 1)
-    cand_s = (
-        delta_b.select(F.col("doc_id").alias("doc_d"), "band", "band_sig")
-        .join(state_b, ["band", "band_sig"])
-        .select("doc_d", "doc_s")
-        .distinct()
-    )
-    vp = persist_tracked(_verified_pairs(cand_s, sigs, "doc_d", "doc_s"))
-    tstep = (F.col("doc_s") % TOMB_MOD == 0).cast("int") * (
-        F.expr(f"(doc_s div {TOMB_MOD}) % {TC_STEPS}") + 1
-    )  # 0 = never tombstoned; t+1 = tombstoned at batch t
-    # Leaf-ify the pair frame too: 6 references across the 3 steps.
-    vps = checkpoint_shared(
-        "r20.tc_vps", sf_dir, vp.select("doc_d", "doc_s", tstep.alias("ts"))
-    )
+
+    # Leaf-ify the verified pair frame too: 6 references across the 3 steps.
+    # The WHOLE candidate+verify chain lives in the thunk, so memo hits skip
+    # both its construction and the duplicate persist registration
+    # (round-11 ADVICE).
+    def _vps() -> DataFrame:
+        state_b = bands.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("doc_s"), "band", "band_sig"
+        )
+        delta_b = bands.filter(F.col("doc_id") % 2 == 1)
+        cand_s = (
+            delta_b.select(F.col("doc_id").alias("doc_d"), "band", "band_sig")
+            .join(state_b, ["band", "band_sig"])
+            .select("doc_d", "doc_s")
+            .distinct()
+        )
+        vp = persist_tracked(_verified_pairs(cand_s, sigs, "doc_d", "doc_s"))
+        tstep = (F.col("doc_s") % TOMB_MOD == 0).cast("int") * (
+            F.expr(f"(doc_s div {TOMB_MOD}) % {TC_STEPS}") + 1
+        )  # 0 = never tombstoned; t+1 = tombstoned at batch t
+        return vp.select("doc_d", "doc_s", tstep.alias("ts"))
+
+    vps = checkpoint_shared("r20.tc_vps", sf_dir, _vps)
     step_rows: list[DataFrame] = []
     for t in range(TC_STEPS):
         ko = (
