@@ -716,42 +716,70 @@ def _sql_pr_curve_oracle(materialized: bool = False) -> str:
     tags=("pagerank", "graph", "iterative", "quality"),
 )
 def pagerank_convergence_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    # Plan truncation (guide §3.3): every rank frame chains the whole
+    # derivation of its predecessors, so the accounting union analyzed a
+    # 437-Exchange tree per build (~1.5 s of pure Catalyst, measured round
+    # 12). edges/nodes and each iteration's ranks are checkpoint_shared
+    # leaves: repeat builds plan 10 shallow (leaf join leaf) steps, and the
+    # leaf preserves the groupBy(dst) hash partitioning (LogicalRDD keeps
+    # the physical plan's outputPartitioning), so the next iteration's
+    # src==node join stays exchange-free exactly like the persisted form.
+    def _edges() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
         )
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        e0 = persist_tracked(
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                    "src"
+                ),
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                    "dst"
+                ),
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        e = e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+        return persist_tracked(
+            e.join(outw, "src")
+            .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+            .repartition(F.col("src"))
+        )
+
+    edges = checkpoint_shared("r12.pr_edges", sf_dir, _edges)
+    nodes = checkpoint_shared(
+        "r12.pr_nodes",
+        sf_dir,
+        lambda: persist_tracked(edges.select(F.col("src").alias("node")).distinct()),
     )
-    e0 = persist_tracked(e0)
-    e = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    edges = persist_tracked(
-        e.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-        .repartition(F.col("src"))
-    )
-    nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     n = nodes.count()  # bounded scalar-collect class (see graphq)
-    prev = persist_tracked(nodes.select("node", F.lit(1.0 / n).alias("r")))
+    prev = checkpoint_shared(
+        "r12.pr_ranks0",
+        sf_dir,
+        lambda: persist_tracked(nodes.select("node", F.lit(1.0 / n).alias("r"))),
+    )
     out = None
     for t in range(1, N_PR_ITERS + 1):
-        ranks = persist_tracked(
-            edges.join(prev, edges.src == prev.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("p")).alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.lit(0.15 / n) + F.lit(DAMPING) * F.col("s")).alias("r"),
-            )
+        ranks = checkpoint_shared(
+            f"r12.pr_ranks{t}",
+            sf_dir,
+            lambda prev=prev: persist_tracked(
+                edges.join(prev, edges.src == prev.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("r") * F.col("p")).alias("s"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.lit(0.15 / n) + F.lit(DAMPING) * F.col("s")).alias("r"),
+                )
+            ),
         )
         joined = ranks.join(
             prev.select("node", F.col("r").alias("pr")), "node"
