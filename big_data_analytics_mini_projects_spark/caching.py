@@ -55,14 +55,38 @@ def checkpoint_shared(name: str, sf_dir: str, df) -> DataFrame:
     ``df`` may be a DataFrame or a zero-arg callable returning one: the
     callable form defers CONSTRUCTION (python expression building + eager
     JVM analysis) on memo hits — for frames built from hundreds of parsed
-    expressions that is most of the per-build cost."""
+    expressions that is most of the per-build cost.
+
+    Memo-hit safety (round-11 ADVICE): a hit whose cached leaf was built by
+    a DIFFERENT SparkSession is treated as a miss (a restarted session's
+    checkpoint blocks are gone), and when the caller passes an already-built
+    DataFrame its schema must match the cached leaf's — the guard against a
+    future caller silently reusing a key for a different frame. The thunk
+    form can't be schema-checked without defeating its purpose; key
+    uniqueness there is by the same naming convention."""
     key = (name, sf_dir)
-    got = _CHECKPOINTED.get(key)
-    if got is None:
-        if callable(df):
-            df = df()
-        got = df.localCheckpoint(eager=False)
-        _CHECKPOINTED[key] = got
+    entry = _CHECKPOINTED.get(key)
+    if entry is not None:
+        session, got = entry
+        if not callable(df) and df.schema != got.schema:
+            raise ValueError(
+                f"checkpoint_shared({name!r}, {sf_dir!r}): memo hit with a "
+                f"different frame schema — two callers are reusing the key "
+                f"for different derivations. Cached: {got.schema.simpleString()}, "
+                f"incoming: {df.schema.simpleString()}"
+            )
+        from pyspark.sql import SparkSession
+
+        current = (
+            df.sparkSession if not callable(df) else SparkSession.getActiveSession()
+        )
+        if current is None or session is current:
+            return got
+        # session restarted since the leaf was cached -> rebuild below
+    if callable(df):
+        df = df()
+    got = df.localCheckpoint(eager=False)
+    _CHECKPOINTED[key] = (df.sparkSession, got)
     return got
 
 

@@ -284,9 +284,11 @@ def connected_components(
     - convergence is detected via Σlabels (labels only decrease, so the sum
       strictly decreases until fixpoint) — one cheap agg instead of a
       change-count join. The detector needs one extra NO-CHANGE round to
-      confirm the fixpoint, so the effective diameter bound is
-      ``max_iters - 1``: size ``max_iters`` at least one above the largest
-      propagation-round count you expect (round-5 ADVICE);
+      confirm the fixpoint, and the label INIT already performs propagation
+      round 1 (label0 = min(self, neighbors), see below), so the effective
+      diameter bound is ``max_iters``: init covers round 1, the loop covers
+      rounds 2..max_iters, and the confirm round reuses the loop's last
+      iteration (round-5 / round-11 ADVICE);
     - exhausting ``max_iters`` without reaching the fixpoint RAISES rather
       than returning silently-wrong labels (a component whose diameter
       exceeds the bound would keep several labels). For graphs where the
@@ -350,8 +352,9 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             f"connected_components did not CONFIRM its fixpoint in {max_iters} "
-            f"rounds (the Σlabels detector spends one round confirming, so the "
-            f"effective diameter bound is {max_iters - 1}). Use "
+            f"rounds (the label init performs propagation round 1 and the "
+            f"Σlabels detector spends one round confirming, so the effective "
+            f"diameter bound is {max_iters}). Use "
             "connected_components_twophase (diameter-independent) or raise "
             "max_iters."
         )

@@ -61,6 +61,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def _parse_size_bytes(s: str) -> int:
+    """Parse a Spark byte-size conf string: plain integers ("134217728"),
+    byte-suffixed ("134217728b") and k/m/g/t/p forms with optional trailing
+    b ("128m", "128mb", "1g") — the grammar of Spark's JavaUtils
+    byteStringAs, which `spark.sql.files.maxPartitionBytes` round-trips
+    through (a user-set "128m" previously killed the probe; round-11
+    ADVICE)."""
+    s = s.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgtp":
+        mult = 1024 ** ("kmgtp".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(s) * mult
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Repartition a scan before per-row-EXPENSIVE expansion (tokenize,
     shingle, per-seed hashing, trigram explode) — ONLY when the scan is
@@ -77,36 +94,47 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     ``repartition(n)`` would be a FULL round-robin shuffle of the corpus
     (plus the sort-before-repartition each map task pays, SPARK-23207) for
     nothing — exactly the accidental exchange the optimization guide warns
-    about (§2.4). So the repartition is now conditional on the plan's actual
-    scan parallelism: when the source already yields >= the session's
-    default parallelism in partitions, the frame passes through untouched
-    (checked via the compiled plan's partition count — driver-side only, no
-    job). Results are unaffected either way: every consumer is an
-    exchange-insensitive expansion/aggregation."""
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    about (§2.4). So the repartition is conditional on the scan's estimated
+    parallelism: when the file listing says the source already yields >= the
+    session's default parallelism in NON-EMPTY splits (file count, capped by
+    Spark's open-cost packing arithmetic — driver-side only, no job), the
+    frame passes through untouched. Results are unaffected either way: every
+    consumer is an exchange-insensitive expansion/aggregation."""
+    sc = df.sparkSession.sparkContext
+    n = partitions or sc.defaultParallelism
     try:
-        # Split-count estimate from the scan's file listing: #files plus
-        # how many maxPartitionBytes-sized splits the (local) bytes yield.
+        # Split-count estimate from the scan's file listing, mirroring
+        # Spark's FilePartition packing: each file is charged
+        # openCostInBytes, splits are at most maxSplitBytes =
+        # min(maxPartitionBytes, max(openCost, totalBytes/defaultParallelism)).
         # `df.rdd.getNumPartitions()` would be exact but compiles the whole
         # physical plan (~0.1-0.2 s of driver time PER CALL — measured; at
         # ~60 spread sites x 3 bench repeats that is suite-level damage);
-        # inputFiles() is a pure listing (~0.02 s) and errs conservatively
-        # (it never over-estimates splits, so at worst we keep a repartition
-        # that exact probing would have skipped). The probe is a hint only —
-        # results are identical with or without the repartition.
+        # inputFiles() is a pure listing (~0.02 s). The estimate is capped
+        # at len(files) (round-11 ADVICE): Spark can split one large file
+        # into many byte ranges, but a single-row-group parquet file yields
+        # one NON-EMPTY partition however it is ranged, so counting those
+        # extra ranges would over-state effective parallelism and silently
+        # skip the rebalance this function exists to add. The cap errs
+        # toward keeping a repartition that exact probing might skip; the
+        # probe is a hint only — results are identical either way.
         files = df.inputFiles()
         est = len(files)
-        if est and est < n:
+        if est and est >= n:
             import os
 
-            max_pb = int(
-                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-                .rstrip("b")
+            conf = df.sparkSession.conf
+            max_pb = _parse_size_bytes(
+                conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            )
+            open_cost = _parse_size_bytes(
+                conf.get("spark.sql.files.openCostInBytes", "4194304b")
             )
             local = [f[len("file:"):] for f in files if f.startswith("file:")]
             if len(local) == len(files):
-                total = sum(os.path.getsize(f) for f in local)
-                est = max(est, -(-total // max_pb))
+                total = sum(os.path.getsize(f) for f in local) + len(files) * open_cost
+                max_split = min(max_pb, max(open_cost, total // max(1, sc.defaultParallelism)))
+                est = min(est, -(-total // max_split))
         if est >= n:
             return df
     except Exception:
