@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
+from ..caching import checkpoint_shared, persist_tracked
 from ..operators.multimodal import synth_bmp_payloads
 from ..operators.phash import AH_BITS, AH_GRID_H, AH_GRID_W, phashes_bmp
 from ..operators.vector import prepare_vectors
@@ -178,8 +178,22 @@ def semdedup_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = vecs.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("cv")
         )
-        asg = _assign_cells(vecs, cents)
-        av = asg.join(vecs, "vec_id").select("vec_id", "cell", "v", "norm")
+        # persist av (the semdedup_cells discipline): _cell_pair_flags
+        # consumes it on BOTH sides of the within-cell pair join, so the
+        # unpersisted form ran the n*K assignment twice per sweep point
+        # (measured: exec 3.3 s/45 jobs -> 1.1 s/13 jobs at sf0.1). The
+        # checkpoint_shared leaf additionally spares repeats re-analyzing
+        # the four assignment trees (guide §3.3); the within-cell pair
+        # scan — the quantity this ablation measures — runs per repeat.
+        av = checkpoint_shared(
+            f"r17.ks_av{k}",
+            sf_dir,
+            lambda cents=cents: persist_tracked(
+                _assign_cells(vecs, cents)
+                .join(vecs, "vec_id")
+                .select("vec_id", "cell", "v", "norm")
+            ),
+        )
         pp = _cell_pair_flags(av, SEM_TAU)
         rows.append(
             pp.groupBy().agg(
