@@ -541,21 +541,27 @@ def banded_width_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id") < EMB_EVAL_LIMIT
         )
     )
-    a = vecs.select(F.col("vec_id").alias("ka"), F.col("v").alias("va"),
-                    F.col("norm").alias("na"))
-    b = vecs.select(F.col("vec_id").alias("kb"), F.col("v").alias("vb"),
-                    F.col("norm").alias("nb"))
     from ..operators.vector import _dot as _dot_expr
 
-    truth = persist_tracked(
-        a.crossJoin(b)
-        .filter(F.col("ka") < F.col("kb"))
-        .filter(
-            (F.expr(_dot_expr("va", "vb")) / (F.col("na") * F.col("nb")))
-            >= NEAR_MIN_COS
+    # Leaf the exact all-pairs truth (guide §3.3): referenced by tc and all
+    # four width rows, so the un-truncated build re-analyzed the crossJoin
+    # chain five times per repeat.
+    def _truth() -> DataFrame:
+        a = vecs.select(F.col("vec_id").alias("ka"), F.col("v").alias("va"),
+                        F.col("norm").alias("na"))
+        b = vecs.select(F.col("vec_id").alias("kb"), F.col("v").alias("vb"),
+                        F.col("norm").alias("nb"))
+        return persist_tracked(
+            a.crossJoin(b)
+            .filter(F.col("ka") < F.col("kb"))
+            .filter(
+                (F.expr(_dot_expr("va", "vb")) / (F.col("na") * F.col("nb")))
+                >= NEAR_MIN_COS
+            )
+            .select("ka", "kb")
         )
-        .select("ka", "kb")
-    )
+
+    truth = checkpoint_shared("r12.bw_truth", sf_dir, _truth)
     tc = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
     # The 4 widths' buckets all pack sign bits of the SAME deterministic

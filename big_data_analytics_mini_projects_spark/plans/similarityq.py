@@ -496,6 +496,11 @@ common AS (SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS n_common
     tags=("dedup", "ngram"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO spread here (measured round 12, interleaved A/B: +0.4 s): unlike
+    # the minhash consumers, this query's distinct=True shingling exchanges
+    # on (doc_id, shingle) right after the explode, so the scan is already
+    # one cheap stage away from full parallelism and a pre-explode
+    # round-robin shuffle of the text column is pure extra cost.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
