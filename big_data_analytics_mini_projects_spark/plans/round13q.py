@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window, functions as F
 
-from ..caching import persist_tracked
+from ..caching import checkpoint_shared, persist_tracked
 from ..functions.hashing import h64, h64_sql
 from ..functions.text import round_stable, sql_round_stable
 from ..sources.tables import load_table, spread
@@ -196,23 +196,27 @@ def _sql_bpe_oracle(iters: int = N_MERGES) -> str:
 )
 def bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, rows = bpe_merge_chain(spark, sf_dir)
-    # explicit schema (types mirror the oracle's casts): on an all-degenerate
-    # corpus every pair is NULL and inference would have nothing to go on.
-    return spark.createDataFrame(
-        rows,
-        "iteration bigint, pair string, pair_count bigint, "
-        "merged_occ bigint, total_syms bigint",
-    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def bpe_merge_chain(
     spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
-) -> tuple[DataFrame, list[Row]]:
+) -> tuple[DataFrame, list[DataFrame]]:
     """The shared BPE merge-training loop: returns (the word-type symbol
-    frame AFTER the final merge, the per-iteration stat Rows). Single source
-    for bpe_merge_curve (stats) and round15q's fertility view (final
-    spellings) — both engines' chains stay byte-reconciled because the SQL
-    twin (_sql_bpe_chain) is shared the same way."""
+    frame AFTER the final merge, the per-iteration 1-row stat frames).
+    Single source for bpe_merge_curve (stats) and round15q's fertility view
+    (final spellings) — both engines' chains stay byte-reconciled because
+    the SQL twin (_sql_bpe_chain) is shared the same way.
+
+    Driver-job census (guide §1.5/§2.6, tightened round 12): the loop
+    collects ONLY the per-iteration argmax (the value that steers the next
+    merge — irreducibly sequential). The merged-occurrence and symbol-total
+    stats ride as LAZY 1-row aggregates over the persisted step frames, so
+    they are computed by the consumer's single action instead of 2n_merges+1
+    extra driver jobs per build (4 jobs/build instead of 9 at N_MERGES=4)."""
     docs = spread(load_table(spark, sf_dir, "documents").select("text"))
     words = docs.select(
         F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')")).alias(
@@ -235,9 +239,8 @@ def bpe_merge_chain(
     syms = persist_tracked(syms)
 
     w_word = Window.partitionBy("word").orderBy("pos")
-    total_syms = syms.agg(F.sum("freq")).collect()[0][0]
 
-    rows = []
+    rows: list[DataFrame] = []
     for t in range(1, n_merges + 1):
         n = syms.withColumn("nxt", F.lead("sym").over(w_word))
         best_rows = (
@@ -255,14 +258,15 @@ def bpe_merge_chain(
             # pair_count, zero merged occurrences, and an unchanged symbol
             # total — emit the matching row instead of raising (round-8
             # ADVICE; unreachable at the shipped SFs, pinned by a fixture
-            # test).
+            # test). The symbol total is a lazy aggregate over the CURRENT
+            # syms frame (= the running total; no pairs means no change).
             rows.append(
-                Row(
-                    iteration=t,
-                    pair=None,
-                    pair_count=None,
-                    merged_occ=0,
-                    total_syms=int(total_syms),
+                syms.agg(F.sum("freq").cast("long").alias("total_syms")).select(
+                    F.lit(t).cast("long").alias("iteration"),
+                    F.lit(None).cast("string").alias("pair"),
+                    F.lit(None).cast("long").alias("pair_count"),
+                    F.lit(0).cast("long").alias("merged_occ"),
+                    "total_syms",
                 )
             )
             continue
@@ -289,30 +293,40 @@ def bpe_merge_chain(
                 == 0
             ),
         )
-        d = persist_tracked(c.withColumn("pch", F.lag("ch").over(w_word)))
-        merged_occ = int(
-            d.filter("ch").agg(F.coalesce(F.sum("freq"), F.lit(0))).collect()[0][0]
+        d = checkpoint_shared(
+            f"r13.bpe_d{t}",
+            sf_dir,
+            lambda c=c: persist_tracked(c.withColumn("pch", F.lag("ch").over(w_word))),
         )
-        syms = persist_tracked(
-            d.filter(~F.coalesce(F.col("pch"), F.lit(False)))
-            .select(
-                "word",
-                "freq",
-                (F.row_number().over(w_word) - 1).cast("long").alias("pos"),
-                F.when(F.col("ch"), F.lit(a + b)).otherwise(F.col("sym")).alias(
-                    "sym"
-                ),
-            )
+        syms = checkpoint_shared(
+            f"r13.bpe_syms{t}",
+            sf_dir,
+            lambda d=d, a=a, b=b: persist_tracked(
+                d.filter(~F.coalesce(F.col("pch"), F.lit(False)))
+                .select(
+                    "word",
+                    "freq",
+                    (F.row_number().over(w_word) - 1).cast("long").alias("pos"),
+                    F.when(F.col("ch"), F.lit(a + b)).otherwise(
+                        F.col("sym")
+                    ).alias("sym"),
+                )
+            ),
         )
-        # each applied merge collapses exactly one (freq-weighted) symbol
-        total_syms -= merged_occ
+        # lazy stats over the persisted step frames: merged_occ from d's
+        # applied-merge rows, the post-merge symbol total from syms —
+        # the consumer's one action computes both (no per-iteration collect)
+        mrow = d.filter("ch").agg(
+            F.coalesce(F.sum("freq"), F.lit(0)).cast("long").alias("merged_occ")
+        )
+        trow = syms.agg(F.sum("freq").cast("long").alias("total_syms"))
         rows.append(
-            Row(
-                iteration=t,
-                pair=f"{a} {b}",
-                pair_count=cnt,
-                merged_occ=merged_occ,
-                total_syms=int(total_syms),
+            mrow.crossJoin(F.broadcast(trow)).select(
+                F.lit(t).cast("long").alias("iteration"),
+                F.lit(f"{a} {b}").alias("pair"),
+                F.lit(cnt).cast("long").alias("pair_count"),
+                "merged_occ",
+                "total_syms",
             )
         )
     return syms, rows
