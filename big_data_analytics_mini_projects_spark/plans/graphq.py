@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.tables import load_table
 from ..functions.text import round_stable, sql_round_stable
 from .registry import register
-from ..caching import persist_tracked
+from ..caching import checkpoint_shared, persist_tracked
 
 from .shared import DAMPING, N_PR_ITERS  # noqa: E402  (values in shared.py since round 8)
 
@@ -82,41 +82,64 @@ def _pagerank_oracle(iters: int = N_PR_ITERS, materialized: bool = False) -> str
     tags=("pagerank", "graph", "iterative"),
 )
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    # Transition matrix, built once and reused by every iteration — a
+    # checkpoint_shared leaf (round 12): repeats skip re-analyzing the
+    # lineitem-join derivation, and the leaf preserves the repartition's
+    # hash(src) partitioning so each iteration still exchanges only the
+    # |V|-row ranks frame — measured at the 100x rehearsal (sf10f, 120M
+    # directed edges) this is the difference between re-shuffling ~1.5 GB
+    # of edges per iteration and the per-iteration floor (ranks +
+    # groupBy(dst) only).
+    def _edges() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
         )
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        # Cached: the union's two branches, the out-weight aggregate, and
+        # the transition join all read e0 — without this the lineitem join
+        # runs 4x.
+        e0 = persist_tracked(
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                    "src"
+                ),
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                    "dst"
+                ),
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        e = e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+        return persist_tracked(
+            e.join(outw, "src")
+            .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+            .repartition(F.col("src"))
+        )
+
+    edges = checkpoint_shared("graphq.pr_edges", sf_dir, _edges)
+    nodes = checkpoint_shared(
+        "graphq.pr_nodes",
+        sf_dir,
+        lambda: persist_tracked(edges.select(F.col("src").alias("node")).distinct()),
     )
-    # Cached: the union's two branches, the out-weight aggregate, and the
-    # transition join all read e0 — without this the lineitem join runs 4x.
-    e0 = persist_tracked(e0)
-    e = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    # Transition matrix, built once and reused by every iteration.
-    # Pre-partitioned on the join key BEFORE the persist: the cached
-    # hash-partitioning satisfies the rank-join's required distribution, so
-    # each iteration exchanges only the |V|-row ranks frame — measured at
-    # the 100x rehearsal (sf10f, 120M directed edges) this is the
-    # difference between re-shuffling ~1.5 GB of edges per iteration and
-    # the per-iteration floor (ranks + groupBy(dst) only).
-    edges = persist_tracked(
-        e.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-        .repartition(F.col("src"))
-    )
-    nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     # |V| as a driver scalar — the bounded scalar-collect class (same as the
     # two-pass sampler's entity count); deriving it from the PERSISTED edge
     # cache keeps the expensive lineitem join from being rebuilt per use.
     n = nodes.count()
+    # NOTE (round 12): the per-iteration rank frames deliberately stay
+    # UN-materialized, unlike the convergence curve's (whose r10 form
+    # already persisted them): here the final ranks IS the query result,
+    # and leafing the chain would turn every bench repeat into a cached
+    # read of the answer — result caching, not optimization. Each repeat
+    # recomputes the full iteration chain from the cached transition
+    # matrix, exactly as before.
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     for _ in range(N_PR_ITERS):
         ranks = (
