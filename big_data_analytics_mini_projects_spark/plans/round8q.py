@@ -34,7 +34,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..caching import persist_tracked
 from ..functions.hashing import h64, h64_sql
 from ..functions.text import round_stable, sql_round_stable
 from ..operators.aggregates import dsum, sql_dsum
@@ -461,16 +460,17 @@ def _es_cov(docs: DataFrame, k: int, tokenized: bool = False) -> DataFrame:
 )
 def dedup_substring_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    # Persist the tokenized corpus once: the three width passes each split
-    # and filter the text (the expensive per-row expansion) before their
-    # own span explode — without the persist the union re-tokenizes the
-    # corpus three times (measured ~0.5 s of the 2.0 s warm exec at sf0.1).
-    # |corpus| rows of token arrays, released at the family boundary.
-    toks = persist_tracked(
-        docs.select(
-            "doc_id",
-            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
-        )
+    # Deliberately NOT persisting the tokenized (doc_id, toks) frame across
+    # the three width passes, although it measured ~0.5 s faster at sf0.1:
+    # caching corpus-scale token ARRAYS is the exact pattern the round-10
+    # 1000x ledger caught starving the span-frequency hash aggregate
+    # (AGGREGATE_OUT_OF_MEMORY at sf100 — BASELINE.md round-10 addendum 6
+    # lesson (a)). Re-tokenizing per pass costs one linear projection; the
+    # shared frame is still built once below so the three passes at least
+    # share the plan subtree for Catalyst/codegen reuse.
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
     )
     out = None
     for k in MULTIGRAIN_KS:
