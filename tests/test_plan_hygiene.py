@@ -63,6 +63,9 @@ BNLJ_OK = {
     "triangle_count_knn",
     # Q4's scalar floor date: a 1-row aggregate broadcast onto lineitem
     "tpch_q4_order_priority",
+    # per-iteration 1-row (merged_occ x total_syms) stat assembly (round 12:
+    # the BPE loop stats became lazy aggregates instead of driver collects)
+    "bpe_merge_curve",
     # TPC-H completion batch: 1-row scalar-subquery broadcasts
     "tpch_q11_important_parts",   # global value total
     "tpch_q15_top_supplier",      # MAX(total_revenue) scalar
